@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+from rdf_generator_spark.sources import parsers
+from rdf_generator_spark.sources.corpus import build_label_index, vocab_df_from_corpus
+
+from tests.fixtures import golden_corpus_df, golden_corpus_rows
+
+
+def test_parse_chars(spark):
+    chars = parsers.parse_char_docs(golden_corpus_df(spark)).orderBy("char_pos").collect()
+    assert len(chars) == 10
+    c1 = chars[0]
+    assert c1["char_id"] == "C1"
+    assert c1["org_label"] == "adult organism"
+    assert c1["org_uri"].endswith("UBERON_0007023")
+    assert [l["label"] for l in c1["locators"]] == ["labrum"]
+    assert c1["has_variable"] and c1["var_label"] == "width"
+    assert c1["var_comment"] == "relative to length"
+    assert [s["label"] for s in c1["states"]] == ["broader", "narrower"]
+    assert c1["states"][0]["uri"] is None
+    c5 = chars[4]
+    assert not c5["has_variable"] and c5["tag"] == "neomorphic"
+    c6 = chars[5]
+    assert len(c6["locators"]) == 4
+    assert c6["locators"][1]["uri"] is None
+
+
+def test_parse_nexus(spark):
+    cells = parsers.parse_nexus_docs(golden_corpus_df(spark)).collect()
+    assert len(cells) == 100
+    by = {(c["taxon"], c["char_index"]): c for c in cells}
+    assert by[("Arhysoceble_picta", 0)]["symbol"] == "0"
+    assert by[("Arhysoceble_picta", 0)]["taxon_pos"] == 0
+    assert by[("Anthidium_porterae", 0)]["symbol"] == "1"
+    assert by[("Meganomia_gigas", 8)]["symbol"] == "-"
+    assert by[("Augochlora_pura", 9)]["taxon_pos"] == 9
+    gaps = [c for c in cells if c["symbol"] == "-"]
+    assert len(gaps) == 3
+
+
+def test_parse_species(spark):
+    sp = parsers.parse_species_docs(golden_corpus_df(spark)).orderBy("sp_pos").collect()
+    assert len(sp) == 10
+    assert sp[0]["input_name"] == "Ancyloscelis_apiformis"
+    assert sp[0]["valid_name"] == "Ancyloscelis_apiformis_(Fabricius,_1793)"
+    assert sp[0]["gbif_id"] == "5039694"
+    assert sp[0]["zoobank_id"] is None
+
+
+def test_parse_metadata(spark):
+    meta = parsers.parse_metadata_docs(golden_corpus_df(spark)).collect()
+    assert len(meta) == 10
+    m = {r["char_id"]: r["source_text"] for r in meta}
+    assert m["C1"] == "character 7 of Roig-Alsina and Michener (1993)"
+
+
+def test_owl_label_index(spark):
+    owl = next(r for r in golden_corpus_rows() if r[3] == "owl")
+    index = build_label_index(owl[4])
+    assert len(index) == 320
+    assert index["about the same"].endswith("pmck.owl#PMCK_0000005")
+    assert "glossal rod" in index
+    vocab = vocab_df_from_corpus(spark, golden_corpus_df(spark))
+    assert vocab.count() == 320
