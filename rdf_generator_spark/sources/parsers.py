@@ -129,6 +129,60 @@ def _none_or_str(v: Any) -> Optional[str]:
     return None if v is None else str(v)
 
 
+def char_rows_from_json(content: str) -> List[dict]:
+    """One character JSON document -> list of normalized char dicts
+    (without the repo/path/commit keys)."""
+    try:
+        raw = json.loads(content)
+    except (ValueError, TypeError):
+        return []
+    rows = raw if isinstance(raw, list) else [raw]
+    doc_matrix_label = None
+    if rows and isinstance(rows[-1], dict):
+        doc_matrix_label = _none_or_str(rows[-1].get("MatrixLabel"))
+    out: List[dict] = []
+    for pos, row in enumerate(rows):
+        if not isinstance(row, dict):
+            continue
+        org = row.get("Organism") or {}
+        var = row.get("Variable")
+        locators = [
+            n
+            for n in (_norm_locator(loc) for loc in (row.get("Locators") or []))
+            if n is not None
+        ]
+        states = []
+        for st in row.get("States") or []:
+            if isinstance(st, dict):
+                states.append(
+                    {
+                        "label": _none_or_str(_first_value(st, "label")),
+                        "uri": _none_or_str(_first_value(st, "uri")),
+                        "token": _none_or_str(_first_value(st, "token")),
+                    }
+                )
+        out.append(
+            {
+                "char_pos": pos,
+                "char_id": _none_or_str(row.get("Char_ID")),
+                "char_label": _none_or_str(row.get("CharacterLabel")),
+                "org_label": _none_or_str(org.get("Label")),
+                "org_uri": _none_or_str(org.get("URI")),
+                "locators": locators,
+                "has_variable": bool(var),
+                "var_label": _none_or_str((var or {}).get("Variable label")),
+                "var_uri": _none_or_str((var or {}).get("Variable URI")),
+                "var_comment": _none_or_str((var or {}).get("Variable comment")),
+                "states": states,
+                "tag": _none_or_str(row.get("Tag")),
+                "species_label": _none_or_str(row.get("SpeciesLabel")),
+                "species_id": _none_or_str(row.get("SpeciesID")),
+                "doc_matrix_label": doc_matrix_label,
+            }
+        )
+    return out
+
+
 def parse_char_docs(corpus: DataFrame) -> DataFrame:
     """Character JSON documents (lang='json') -> one row per character."""
 
@@ -138,58 +192,8 @@ def parse_char_docs(corpus: DataFrame) -> DataFrame:
             for repo, path, commit, content in zip(
                 pdf["repo"], pdf["path"], pdf["commit"], pdf["content"]
             ):
-                try:
-                    raw = json.loads(content)
-                except (ValueError, TypeError):
-                    continue
-                rows = raw if isinstance(raw, list) else [raw]
-                doc_matrix_label = None
-                if rows:
-                    last = rows[-1]
-                    if isinstance(last, dict):
-                        doc_matrix_label = _none_or_str(last.get("MatrixLabel"))
-                for pos, row in enumerate(rows):
-                    if not isinstance(row, dict):
-                        continue
-                    org = row.get("Organism") or {}
-                    var = row.get("Variable")
-                    locators = [
-                        n
-                        for n in (_norm_locator(loc) for loc in (row.get("Locators") or []))
-                        if n is not None
-                    ]
-                    states = []
-                    for st in row.get("States") or []:
-                        if isinstance(st, dict):
-                            states.append(
-                                {
-                                    "label": _none_or_str(_first_value(st, "label")),
-                                    "uri": _none_or_str(_first_value(st, "uri")),
-                                    "token": _none_or_str(_first_value(st, "token")),
-                                }
-                            )
-                    out.append(
-                        {
-                            "repo": repo,
-                            "path": path,
-                            "commit": commit,
-                            "char_pos": pos,
-                            "char_id": _none_or_str(row.get("Char_ID")),
-                            "char_label": _none_or_str(row.get("CharacterLabel")),
-                            "org_label": _none_or_str(org.get("Label")),
-                            "org_uri": _none_or_str(org.get("URI")),
-                            "locators": locators,
-                            "has_variable": bool(var),
-                            "var_label": _none_or_str((var or {}).get("Variable label")),
-                            "var_uri": _none_or_str((var or {}).get("Variable URI")),
-                            "var_comment": _none_or_str((var or {}).get("Variable comment")),
-                            "states": states,
-                            "tag": _none_or_str(row.get("Tag")),
-                            "species_label": _none_or_str(row.get("SpeciesLabel")),
-                            "species_id": _none_or_str(row.get("SpeciesID")),
-                            "doc_matrix_label": doc_matrix_label,
-                        }
-                    )
+                for row in char_rows_from_json(content):
+                    out.append({"repo": repo, "path": path, "commit": commit, **row})
             yield pd.DataFrame(out, columns=[f.name for f in CHARS_SCHEMA.fields])
 
     return corpus.filter(corpus.lang == "json").mapInPandas(gen, CHARS_SCHEMA)
@@ -273,6 +277,59 @@ def parse_nexus_docs(corpus: DataFrame) -> DataFrame:
     return corpus.filter(corpus.lang == "nexus").mapInPandas(gen, CELLS_SCHEMA)
 
 
+def species_rows_from_json(content: str) -> List[dict]:
+    """One species JSON document -> normalized records (main.py:537-551)."""
+    try:
+        entries = json.loads(content)
+    except (ValueError, TypeError):
+        return []
+    if not isinstance(entries, list):
+        entries = [entries]
+    out: List[dict] = []
+    for pos, s in enumerate(entries):
+        if not isinstance(s, dict):
+            continue
+        input_name = (
+            py_norm_taxon_label(s["input_species_name"])
+            if s.get("input_species_name")
+            else _none_or_str(s.get("input_species_name"))
+        )
+        valid_name = (
+            py_norm_taxon_label(s["valid_species_name"])
+            if s.get("valid_species_name")
+            else _none_or_str(s.get("valid_species_name"))
+        )
+        uri = s.get("URI")
+        if uri:
+            uri = py_norm_species_uri(uri, input_name or "")
+        out.append(
+            {
+                "sp_pos": pos,
+                "input_name": input_name,
+                "valid_name": valid_name,
+                "gbif_id": _none_or_str(s.get("ID")),
+                "zoobank_id": _none_or_str(s.get("zoobank_identifier")),
+                "match_level": _none_or_str(s.get("match_level")),
+                "uri": _none_or_str(uri),
+            }
+        )
+    return out
+
+
+def metadata_rows_from_csv(content: str) -> List[dict]:
+    """One metadata CSV -> (char_id, source_text) rows (main.py:208-224)."""
+    out: List[dict] = []
+    try:
+        for row in csv.DictReader(io.StringIO(content or "")):
+            char_id = str(row.get("Char_ID", "") or "").strip()
+            source_text = py_extract_revision_source(row.get("Comment"))
+            if char_id and source_text:
+                out.append({"char_id": char_id, "source_text": source_text})
+    except csv.Error:
+        pass
+    return out
+
+
 def parse_species_docs(corpus: DataFrame) -> DataFrame:
     """Species JSON documents (lang='species-json') -> species records.
 
@@ -286,42 +343,8 @@ def parse_species_docs(corpus: DataFrame) -> DataFrame:
             for repo, path, commit, content in zip(
                 pdf["repo"], pdf["path"], pdf["commit"], pdf["content"]
             ):
-                try:
-                    entries = json.loads(content)
-                except (ValueError, TypeError):
-                    continue
-                if not isinstance(entries, list):
-                    entries = [entries]
-                for pos, s in enumerate(entries):
-                    if not isinstance(s, dict):
-                        continue
-                    input_name = (
-                        py_norm_taxon_label(s["input_species_name"])
-                        if s.get("input_species_name")
-                        else _none_or_str(s.get("input_species_name"))
-                    )
-                    valid_name = (
-                        py_norm_taxon_label(s["valid_species_name"])
-                        if s.get("valid_species_name")
-                        else _none_or_str(s.get("valid_species_name"))
-                    )
-                    uri = s.get("URI")
-                    if uri:
-                        uri = py_norm_species_uri(uri, input_name or "")
-                    out.append(
-                        {
-                            "repo": repo,
-                            "path": path,
-                            "commit": commit,
-                            "sp_pos": pos,
-                            "input_name": input_name,
-                            "valid_name": valid_name,
-                            "gbif_id": _none_or_str(s.get("ID")),
-                            "zoobank_id": _none_or_str(s.get("zoobank_identifier")),
-                            "match_level": _none_or_str(s.get("match_level")),
-                            "uri": _none_or_str(uri),
-                        }
-                    )
+                for row in species_rows_from_json(content):
+                    out.append({"repo": repo, "path": path, "commit": commit, **row})
             yield pd.DataFrame(out, columns=[f.name for f in SPECIES_SCHEMA.fields])
 
     return corpus.filter(corpus.lang == "species-json").mapInPandas(gen, SPECIES_SCHEMA)
@@ -337,23 +360,8 @@ def parse_metadata_docs(corpus: DataFrame) -> DataFrame:
             for repo, path, commit, content in zip(
                 pdf["repo"], pdf["path"], pdf["commit"], pdf["content"]
             ):
-                try:
-                    reader = csv.DictReader(io.StringIO(content or ""))
-                    for row in reader:
-                        char_id = str(row.get("Char_ID", "") or "").strip()
-                        source_text = py_extract_revision_source(row.get("Comment"))
-                        if char_id and source_text:
-                            out.append(
-                                {
-                                    "repo": repo,
-                                    "path": path,
-                                    "commit": commit,
-                                    "char_id": char_id,
-                                    "source_text": source_text,
-                                }
-                            )
-                except csv.Error:
-                    continue
+                for row in metadata_rows_from_csv(content):
+                    out.append({"repo": repo, "path": path, "commit": commit, **row})
             yield pd.DataFrame(out, columns=[f.name for f in METADATA_SCHEMA.fields])
 
     return corpus.filter(corpus.lang == "csv").mapInPandas(gen, METADATA_SCHEMA)

@@ -32,3 +32,19 @@ def golden_corpus_df(spark):
     from rdf_generator_spark.sources.corpus import corpus_df
 
     return corpus_df(spark, golden_corpus_rows())
+
+
+def golden_parsed():
+    """Parsed golden inputs, no Spark: (chars, cells, species, metadata, vocab)."""
+    from rdf_generator_spark.sources import parsers as P
+    from rdf_generator_spark.sources.corpus import build_label_index
+
+    by_lang = {lang: content for _, _, _, lang, content in
+               [(r[0], r[1], r[2], r[3], r[4]) for r in golden_corpus_rows()]}
+    chars = P.char_rows_from_json(by_lang["json"])
+    cells = P._parse_nexus_matrix(by_lang["nexus"])
+    species = P.species_rows_from_json(by_lang["species-json"])
+    metadata = {r["char_id"]: r["source_text"]
+                for r in P.metadata_rows_from_csv(by_lang["csv"])}
+    vocab = build_label_index(by_lang["owl"])
+    return chars, cells, species, metadata, vocab
