@@ -1,0 +1,106 @@
+"""Set-level graph operators: dedup (A3), prune (A5), label priority (J6).
+
+All expressed as hash joins/aggregates so Catalyst plans them; victim and
+label dimension sides are per-document small and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdf_generator_spark import terms as T
+
+DOC_KEYS = ["repo", "commit"]
+TRIPLE_COLS = ["s", "p", "o", "lit", "dt"]
+
+
+def dedup_triples(df: DataFrame) -> DataFrame:
+    """rdflib set semantics (A3): distinct on (doc, s, p, o, lit, dt)."""
+    return df.dropDuplicates(DOC_KEYS + TRIPLE_COLS)
+
+
+def prune_unreferenced(df: DataFrame) -> DataFrame:
+    """prune_unreferenced_prototypes (main.py:1596-1634).
+
+    Victims: kb:qua-* NamedIndividuals not objects of phb:0000003 and
+    kb:org-* not objects of phb:0000002; drop all triples where a victim
+    is subject or (IRI) object. Two left-anti joins with a broadcast
+    victim set.
+    """
+    named = (
+        df.filter((F.col("p") == T.RDF_TYPE) & (F.col("o") == T.OWL_NAMED_INDIVIDUAL))
+        .select(*DOC_KEYS, F.col("s").alias("node"))
+        .distinct()
+    )
+    ref_q = (
+        df.filter((F.col("p") == T.PHB_HAS_QUALITY) & (~F.col("lit")))
+        .select(*DOC_KEYS, F.col("o").alias("node"))
+        .distinct()
+    )
+    ref_o = (
+        df.filter((F.col("p") == T.PHB_HAS_ORGANISM) & (~F.col("lit")))
+        .select(*DOC_KEYS, F.col("o").alias("node"))
+        .distinct()
+    )
+    qua_victims = named.filter(F.col("node").startswith(T.KB + "qua-")).join(
+        ref_q, DOC_KEYS + ["node"], "left_anti"
+    )
+    org_victims = named.filter(F.col("node").startswith(T.KB + "org-")).join(
+        ref_o, DOC_KEYS + ["node"], "left_anti"
+    )
+    victims = qua_victims.unionByName(org_victims).distinct()
+    out = df.join(
+        F.broadcast(victims.withColumnRenamed("node", "s")),
+        DOC_KEYS + ["s"],
+        "left_anti",
+    )
+    vo = F.broadcast(
+        victims.select(
+            F.col("repo").alias("__vr"),
+            F.col("commit").alias("__vc"),
+            F.col("node").alias("__vn"),
+        )
+    )
+    out = out.join(
+        vo,
+        (out["repo"] == vo["__vr"])
+        & (out["commit"] == vo["__vc"])
+        & (out["o"] == vo["__vn"])
+        & (~out["lit"]),
+        "left_anti",
+    )
+    return out
+
+
+def apply_label_priority(matrix_labels: DataFrame, target: DataFrame) -> DataFrame:
+    """apply_matrix_label_priority (main.py:1243-1270).
+
+    `matrix_labels`: (doc, s, o) authoritative rdfs:label values (one per
+    subject). For every subject of `target` that has a matrix label, all
+    its rdfs:label triples are replaced by the matrix one.
+    """
+    ml = F.broadcast(
+        matrix_labels.select(*DOC_KEYS, "s", "o").groupBy(*DOC_KEYS, "s").agg(
+            F.min("o").alias("o")
+        )
+    )
+    target_subjects = target.select(*DOC_KEYS, "s").distinct()
+    replacements = (
+        target_subjects.join(ml, DOC_KEYS + ["s"], "inner")
+        .select(
+            *DOC_KEYS,
+            "s",
+            F.lit(T.RDFS_LABEL).alias("p"),
+            "o",
+            F.lit(True).alias("lit"),
+            F.lit(None).cast("string").alias("dt"),
+        )
+    )
+    non_labels = target.filter(F.col("p") != T.RDFS_LABEL)
+    kept_labels = target.filter(F.col("p") == T.RDFS_LABEL).join(
+        ml.select(*DOC_KEYS, "s"), DOC_KEYS + ["s"], "left_anti"
+    )
+    return non_labels.unionByName(kept_labels).unionByName(
+        replacements.select(non_labels.columns)
+    )

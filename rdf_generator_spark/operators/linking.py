@@ -1,0 +1,117 @@
+"""Entity linking: ontology-label URI fill (J1) and negation resolution (J2).
+
+The reference does O(1) dict lookups against a label index
+(/root/reference/rdf_generator/main.py:296-343, 566-572, 1018-1021).
+Spark-first equivalent: the vocabulary is a broadcast dimension table and
+every lookup is a broadcast hash join — no shuffle on the fact side except
+the array-reassembly groupBy, which runs on the (small) characters table,
+never on the cells fan-out.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rdf_generator_spark.normalize import norm_term_label, strip_col
+
+DOC_KEYS = ("repo", "commit")
+
+
+def missing_uri(c: Column) -> Column:
+    """Fill condition (main.py:313-314): null, blank, or the string 'null'."""
+    s = F.lower(strip_col(c))
+    return c.isNull() | (s == "") | (s == "null")
+
+
+def fill_scalar_uri(
+    df: DataFrame, label_col: str, uri_col: str, vocab: DataFrame, enabled: Column = None
+) -> DataFrame:
+    """Broadcast-left-join fill of one (label, uri) slot."""
+    v = F.broadcast(vocab.withColumnRenamed("uri", "__resolved"))
+    cond = missing_uri(F.col(uri_col)) & (norm_term_label(F.col(label_col)) != "")
+    if enabled is not None:
+        cond = cond & enabled
+    out = df.join(v, cond & (norm_term_label(F.col(label_col)) == v.norm_label), "left")
+    return out.withColumn(
+        uri_col,
+        F.when(cond & F.col("__resolved").isNotNull(), F.col("__resolved")).otherwise(
+            F.col(uri_col)
+        ),
+    ).drop("norm_label", "__resolved")
+
+
+def fill_array_uris(
+    df: DataFrame,
+    array_col: str,
+    vocab: DataFrame,
+    id_cols: Sequence[str],
+    extra_fields: Sequence[str] = (),
+) -> DataFrame:
+    """Fill `uri` inside an array<struct<label,uri[,...]>> column.
+
+    posexplode -> broadcast join -> ordered re-assembly. The groupBy is
+    keyed by the row identity (document + char_pos) so re-assembly is a
+    narrow-ish shuffle on the dimension-sized characters table.
+    """
+    keys = list(id_cols)
+    ex = df.select(*keys, F.posexplode_outer(array_col).alias("__pos", "__item"))
+    item = F.col("__item")
+    cond = missing_uri(item["uri"]) & (norm_term_label(item["label"]) != "")
+    v = F.broadcast(vocab.withColumnRenamed("uri", "__resolved"))
+    ex = ex.join(v, cond & (norm_term_label(item["label"]) == v.norm_label), "left")
+    fields = [item["label"].alias("label"),
+              F.when(cond & F.col("__resolved").isNotNull(), F.col("__resolved"))
+               .otherwise(item["uri"]).alias("uri")]
+    for f in extra_fields:
+        fields.append(item[f].alias(f))
+    new_item = F.struct(*fields)
+    packed = F.when(F.col("__pos").isNotNull(), F.struct(F.col("__pos").alias("p"), new_item.alias("i")))
+    regrouped = (
+        ex.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(packed)).alias("__packed"))
+        .withColumn(array_col, F.expr("transform(__packed, x -> x.i)"))
+        .drop("__packed")
+    )
+    return df.drop(array_col).join(regrouped, keys, "left")
+
+
+def fill_character_uris(chars: DataFrame, vocab: DataFrame) -> DataFrame:
+    """apply_pmck_uri_fallbacks (main.py:296-343) over the parsed shape:
+    Organism / Locators / Variable / States slots."""
+    out = fill_scalar_uri(chars, "org_label", "org_uri", vocab)
+    out = fill_scalar_uri(out, "var_label", "var_uri", vocab, enabled=F.col("has_variable"))
+    keys = [*DOC_KEYS, "path", "char_pos"]
+    out = fill_array_uris(out, "locators", vocab, keys)
+    out = fill_array_uris(out, "states", vocab, keys, extra_fields=("token",))
+    return out
+
+
+def state_label_index(states_long: DataFrame) -> DataFrame:
+    """J2 (main.py:566-572): dataset-wide raw-label -> first truthy URI,
+    first-wins in (char order, state order).
+
+    Input: long states table with doc keys + char_pos + state_idx +
+    label + uri. Output: (doc keys, base_key, pos_uri).
+    """
+    from pyspark.sql.window import Window
+
+    cand = states_long.filter(
+        (F.coalesce(strip_col(F.col("label")), F.lit("")) != "")
+        & F.col("uri").isNotNull()
+        & (F.col("uri") != "")
+    ).select(
+        *DOC_KEYS,
+        F.lower(strip_col(F.col("label"))).alias("base_key"),
+        F.col("uri").alias("pos_uri"),
+        "char_pos",
+        "state_idx",
+    )
+    w = Window.partitionBy(*DOC_KEYS, "base_key").orderBy("char_pos", "state_idx")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*DOC_KEYS, "base_key", "pos_uri")
+    )

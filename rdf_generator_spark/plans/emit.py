@@ -1,0 +1,71 @@
+"""Triple-emission helper: rows -> exploded (s, p, o, lit, dt) triples.
+
+Each emission is a `select(array(struct...)) -> filter nulls -> explode`
+— a narrow, codegen-friendly fan-out with no Python in the path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def _c(x: ColumnOrName) -> Column:
+    """Strings with a scheme ('://') are IRI constants; other strings are
+    column names. IRIs and column names never collide on this."""
+    if isinstance(x, Column):
+        return x
+    return F.lit(x) if "://" in x else F.col(x)
+
+
+def t(s: ColumnOrName, p: ColumnOrName, o: ColumnOrName) -> Column:
+    """IRI-object triple struct."""
+    return F.struct(
+        _c(s).alias("s"),
+        _c(p).alias("p"),
+        _c(o).cast("string").alias("o"),
+        F.lit(False).alias("lit"),
+        F.lit(None).cast("string").alias("dt"),
+    )
+
+
+def tl(s: ColumnOrName, p: ColumnOrName, o: ColumnOrName,
+       dt: Optional[str] = None) -> Column:
+    """Literal-object triple struct."""
+    return F.struct(
+        _c(s).alias("s"),
+        _c(p).alias("p"),
+        _c(o).cast("string").alias("o"),
+        F.lit(True).alias("lit"),
+        F.lit(dt).cast("string").alias("dt"),
+    )
+
+
+def when_t(cond: Column, triple: Column) -> Column:
+    """Conditional triple — null when the condition is false (dropped
+    by emit())."""
+    return F.when(cond, triple)
+
+
+def emit(df: DataFrame, *triples: Column, doc_cols=("repo", "commit")) -> DataFrame:
+    """Explode the given triple structs per row, dropping conditional
+    nulls; null subjects/objects are also dropped (absent optional
+    nodes)."""
+    arr = F.filter(
+        F.array(*triples),
+        lambda x: x.isNotNull() & x["s"].isNotNull() & x["o"].isNotNull(),
+    )
+    return df.select(*doc_cols, F.explode(arr).alias("__t")).select(
+        *doc_cols, "__t.s", "__t.p", "__t.o", "__t.lit", "__t.dt"
+    )
+
+
+def union_emissions(*dfs: DataFrame) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1,0 +1,860 @@
+"""End-to-end KG construction: corpus table -> canonical triples.
+
+Dataflow (SURVEY.md §3 "Spark lifecycle"):
+
+    corpus(repo,path,commit,lang,content)
+      ├─ parse (Arrow mapInPandas)  -> chars / cells / species / meta
+      ├─ vocab broadcast join (J1)  -> URI-filled chars
+      ├─ per-state derivation (J2, K1) -> states_x   [long table]
+      ├─ cells ⋈ chars (J4/J5) × sex variants (F2)   -> visits
+      │    locator-chain UUID5 fold (F4) in a built-in `aggregate`
+      ├─ per-document windows (A1/A2) -> sequential :id-N labels
+      ├─ select/explode triple structs (F1..F12) per part
+      └─ union -> dedup (A3) -> prune (A5) -> label priority (J6) -> final
+
+Everything between parse and the final union is built-in Column algebra
+(uuid5 == sha1, see ids.py) — no Python in the fan-out path. All windows
+are partitioned by document, so corpora parallelize across documents and
+no operator needs a global shuffle. The cells⋈chars join broadcasts the
+character side (dimension-sized per corpus design).
+
+Scoping note (SURVEY.md §7): the reference's global sequential counters
+are scoped per document here — the one semantic the single-process
+reference cannot keep at corpus scale.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rdf_generator_spark import terms as T
+from rdf_generator_spark.ids import kb_iri
+from rdf_generator_spark.normalize import (
+    norm_seed_component,
+    norm_taxon_label,
+    parse_char_num_col,
+    strip_col,
+)
+from rdf_generator_spark.operators import linking
+from rdf_generator_spark.operators.graph_ops import (
+    apply_label_priority,
+    dedup_triples,
+    prune_unreferenced,
+)
+from rdf_generator_spark.plans.base_scaffold import base_triples
+from rdf_generator_spark.plans.emit import emit, t, tl, union_emissions, when_t
+from rdf_generator_spark.sources import parsers
+from rdf_generator_spark.sources.corpus import vocab_df_from_corpus
+
+DOC = ["repo", "commit"]
+
+_LOC_CHAIN_TYPE = (
+    "array<struct<iri:string,label:string,uri:string,prev:string>>"
+)
+
+
+def _nonempty(c) -> F.Column:
+    return F.coalesce(strip_col(c), F.lit("")) != ""
+
+
+def _truthy_uri(c) -> F.Column:
+    """Python truthiness for URI slots: None/'' falsy, whitespace truthy."""
+    return F.when(c.isNull() | (c == ""), F.lit(None).cast("string")).otherwise(c)
+
+
+def build_salts(meta: DataFrame, dataset_id: Optional[str]) -> DataFrame:
+    """build_dataset_seed_salt (main.py:227-249), per document."""
+    norm = norm_seed_component(F.col("source_text"))
+    fp = F.sha2(
+        F.array_join(
+            F.array_sort(F.collect_list(F.when(norm != "", norm))), "||"
+        ),
+        256,
+    ).substr(1, 16)
+    return meta.groupBy(*DOC).agg(
+        F.concat(F.lit("metadata::"), fp).alias("salt")
+    )
+
+
+def build_graph(
+    spark: SparkSession,
+    corpus: DataFrame,
+    dataset_id: Optional[str] = None,
+    vocab: Optional[DataFrame] = None,
+    materialize: bool = True,
+) -> Dict[str, DataFrame]:
+    """Run the full pipeline; returns named DataFrames.
+
+    With ``materialize`` (default) the hub tables (chars/states/visits and
+    the emitted triple union) are local-checkpointed: every downstream
+    branch (per-part outputs, prune, label priority, validation) reuses
+    one materialized dataset instead of replaying the parse+join lineage —
+    at cluster scale this is where the Iceberg staging write goes.
+    """
+    chars_raw = parsers.parse_char_docs(corpus)
+    cells = parsers.parse_nexus_docs(corpus)
+    species = parsers.parse_species_docs(corpus)
+    meta = parsers.parse_metadata_docs(corpus)
+    if vocab is None:
+        vocab = vocab_df_from_corpus(spark, corpus)
+
+    # --- J1 vocab fill + per-char derived columns ------------------------
+    chars_f = linking.fill_character_uris(chars_raw, vocab)
+
+    if dataset_id is not None:
+        did = norm_seed_component(F.lit(dataset_id))
+        salts = chars_f.select(*DOC).distinct().withColumn(
+            "salt", F.concat(F.lit("dataset::"), did)
+        )
+    else:
+        salts = build_salts(meta, dataset_id)
+
+    charsx = (
+        chars_f.join(salts, DOC, "left")
+        .withColumn("salt", F.coalesce(F.col("salt"), F.lit("dataset::default")))
+        .join(
+            meta.select(*DOC, "char_id", "source_text"),
+            DOC + ["char_id"],
+            "left",
+        )
+        .withColumn("char_iri", kb_iri("char", F.concat(F.lit("char_"), F.col("char_id"))))
+        .withColumn(
+            "char_label_eff",
+            F.coalesce(F.col("char_label"), F.concat(F.lit("Character "), F.col("char_id"))),
+        )
+        .withColumn(
+            "src_iri",
+            F.when(
+                F.col("source_text").isNotNull(),
+                kb_iri(
+                    "src",
+                    F.concat(
+                        F.lit("revision-source::"),
+                        F.col("char_id"),
+                        F.lit("::"),
+                        F.lower(F.col("source_text")),
+                    ),
+                ),
+            ),
+        )
+        .withColumn(
+            "stmt_type",
+            F.when(~F.col("has_variable"), F.lit(T.PHB_NEOMORPHIC))
+            .when(_nonempty(F.col("var_comment")), F.lit(T.PHB_TRANSF_COMPLEX))
+            .otherwise(F.lit(T.PHB_TRANSF_SIMPLE)),
+        )
+        .withColumn(
+            "dup_for_sex",
+            F.col("org_label").isNotNull()
+            & (F.lower(strip_col(F.col("org_label"))) == "adult organism"),
+        )
+        .withColumn("char_sort_num", parse_char_num_col(F.col("char_id")))
+        .withColumn(
+            "org_uri_eff",
+            F.coalesce(
+                _truthy_uri(F.col("org_uri")),
+                F.concat(F.lit(T.KB), F.replace(F.col("org_label"), F.lit(" "), F.lit("_"))),
+            ),
+        )
+        .withColumn("var_label_eff", F.coalesce(F.col("var_label"), F.lit("Unnamed Variable")))
+        .withColumn(
+            "mx_iri",
+            kb_iri("mx", F.coalesce(F.col("doc_matrix_label"), F.lit("default_matrix"))),
+        )
+    )
+
+    # Variable locator-chain seed (main.py:929-953; 'None' stringification
+    # quirk replicated).
+    uri_comps = F.transform(
+        F.col("locators"),
+        lambda l: F.when(l["uri"].isNull(), F.lit("None")).otherwise(strip_col(l["uri"])),
+    )
+    label_comps = F.transform(
+        F.col("locators"),
+        lambda l: F.when(l["label"].isNull(), F.lit("None")).otherwise(strip_col(l["label"])),
+    )
+    has_locs = F.size(F.col("locators")) > 0
+    all_of = lambda comps: F.forall(comps, lambda c: c != "")  # noqa: E731
+    charsx = charsx.withColumn(
+        "chain_seed",
+        F.when(has_locs & all_of(uri_comps), F.array_join(uri_comps, "::"))
+        .when(has_locs & all_of(label_comps), F.array_join(label_comps, "::"))
+        .when(has_locs, F.concat(F.lit("__malformed__::"), F.col("char_id"))),
+    )
+
+    # --- states_x: long per-state table with J2 + counters (K1/A2) -------
+    st = charsx.select(
+        *DOC,
+        "char_pos",
+        "char_id",
+        "char_iri",
+        _truthy_uri(F.col("var_uri")).alias("char_var_uri"),
+        F.posexplode_outer("states").alias("state_idx", "st"),
+    ).filter(F.col("state_idx").isNotNull())
+    label0 = F.when(F.col("st.label").isNull(), F.lit("unknown")).otherwise(
+        strip_col(F.col("st.label"))
+    )
+    st = (
+        st.withColumn("label0", label0)
+        .withColumn("is_neg", F.lower(F.col("label0")).startswith("not "))
+        .withColumn(
+            "base_label", strip_col(F.substring(F.col("label0"), 5, 2 ** 30))
+        )
+        .withColumn(
+            "labelN",
+            F.when(F.col("is_neg"), F.concat(F.lit("not "), F.col("base_label"))).otherwise(
+                F.col("label0")
+            ),
+        )
+        .withColumn("uri_t", _truthy_uri(F.col("st.uri")))
+        .withColumn(
+            "seed",
+            F.concat(
+                F.col("char_id"),
+                F.lit("_"),
+                F.coalesce(F.col("uri_t"), F.lower(F.col("labelN"))),
+            ),
+        )
+        .withColumn("sta_iri", kb_iri("sta", F.col("seed")))
+        .withColumn("qua_iri", kb_iri("qua", F.col("seed")))
+    )
+    j2 = linking.state_label_index(
+        st.select(*DOC, "char_pos", "state_idx", F.col("st.label").alias("label"),
+                  F.col("uri_t").alias("uri"))
+    )
+    j2r = j2.select(
+        F.col("repo").alias("__j2_repo"),
+        F.col("commit").alias("__j2_commit"),
+        F.col("base_key").alias("__j2_key"),
+        F.col("pos_uri").alias("__j2uri"),
+    )
+    st = st.join(
+        F.broadcast(j2r),
+        (F.col("repo") == F.col("__j2_repo"))
+        & (F.col("commit") == F.col("__j2_commit"))
+        & (F.lower(F.col("base_label")) == F.col("__j2_key"))
+        & F.col("is_neg")
+        & F.col("uri_t").isNull(),
+        "left",
+    ).drop("__j2_repo", "__j2_commit", "__j2_key")
+    st = st.withColumn("resolved_uri", F.coalesce(F.col("uri_t"), F.col("__j2uri"))).drop(
+        "__j2uri"
+    )
+    st = (
+        st.withColumn("neg_resolved", F.col("is_neg") & F.col("resolved_uri").isNotNull())
+        .withColumn(
+            "restr_iri",
+            F.when(F.col("neg_resolved"), kb_iri("restr", F.col("resolved_uri"))),
+        )
+        .withColumn(
+            "comp_iri",
+            F.when(F.col("neg_resolved"), kb_iri("comp", F.col("resolved_uri"))),
+        )
+    )
+    w_doc_state = Window.partitionBy(*DOC).orderBy("char_pos", "state_idx")
+    w_doc = Window.partitionBy(*DOC)
+    st = (
+        st.withColumn("__rn", F.row_number().over(w_doc_state))
+        .withColumn("__n_states", F.count(F.lit(1)).over(w_doc))
+        .withColumn(
+            "sta_prefix",
+            F.when(F.col("labelN") == "", F.lit("state")).otherwise(F.col("labelN")),
+        )
+        .withColumn(
+            "qua_prefix",
+            F.when(F.col("labelN") == "", F.lit("quality")).otherwise(F.col("labelN")),
+        )
+        .withColumn(
+            "sta_label",
+            F.concat(F.col("sta_prefix"), F.lit(":id-"),
+                     F.col("__n_states") + F.col("__rn")),
+        )
+        .withColumn(
+            "qua_label",
+            F.concat(F.col("qua_prefix"), F.lit(":id-"), F.col("__rn")),
+        )
+    )
+    states_x = st
+
+    # --- cells ⋈ chars (J4): broadcast the dimension-sized character
+    # table keyed on the matrix column index (char_ids_in_order semantics,
+    # main.py:1731-1733) --------------------------------------------------
+    chars_b = charsx.drop("path").withColumn("char_index", F.col("char_pos"))
+    cells_j = cells.select(
+        *DOC, "taxon_pos", "taxon", "char_index", "symbol"
+    ).join(F.broadcast(chars_b), DOC + ["char_index"], "inner")
+
+    cells_j = (
+        cells_j.withColumn("cell_iri",
+                           kb_iri("cell", F.concat(F.col("taxon"), F.lit("_"), F.col("char_index"))))
+        .withColumn("norm_taxon", norm_taxon_label(F.col("taxon")))
+        .withColumn("state_index", strip_col(F.col("symbol")).try_cast("int"))
+        .withColumn(
+            "cell_n",
+            F.row_number().over(Window.partitionBy(*DOC).orderBy("char_pos", "taxon_pos")),
+        )
+    )
+
+    variants = F.when(
+        F.col("dup_for_sex"),
+        F.array(
+            F.struct(
+                F.lit(0).alias("vord"),
+                F.lit("female organism").alias("v_org_label"),
+                F.lit(T.UBERON_FEMALE).alias("v_org_uri"),
+                F.lit("::female").alias("suffix"),
+            ),
+            F.struct(
+                F.lit(1).alias("vord"),
+                F.lit("male organism").alias("v_org_label"),
+                F.lit(T.UBERON_MALE).alias("v_org_uri"),
+                F.lit("::male").alias("suffix"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.lit(0).alias("vord"),
+                F.col("org_label").alias("v_org_label"),
+                F.col("org_uri_eff").alias("v_org_uri"),
+                F.lit("").alias("suffix"),
+            )
+        )
+    )
+
+    visits = (
+        cells_j.filter(F.col("state_index").isNotNull())
+        .withColumn("__v", F.explode(variants))
+        .select("*", "__v.vord", "__v.v_org_label", "__v.v_org_uri", "__v.suffix")
+        .drop("__v")
+    )
+
+    org_seed = F.concat_ws(
+        "::",
+        F.col("salt"),
+        F.coalesce(
+            F.nullif(norm_seed_component(F.col("norm_taxon")), F.lit("")),
+            F.lit("unknown-taxon"),
+        ),
+        F.coalesce(
+            F.nullif(norm_seed_component(F.col("v_org_label")), F.lit("")),
+            F.lit("organism"),
+        ),
+    )
+    visits = (
+        visits.withColumn("org_iri", kb_iri("org", org_seed))
+        .withColumn(
+            "phe_iri",
+            kb_iri(
+                "phe",
+                F.concat(
+                    F.lit("pheno-"),
+                    F.col("char_id"),
+                    F.lit("::"),
+                    F.lower(strip_col(F.col("taxon"))),
+                    F.col("suffix"),
+                ),
+            ),
+        )
+        .withColumn("tu_iri", kb_iri("tu", F.lower(strip_col(F.col("norm_taxon")))))
+    )
+
+    # Locator-chain fold (F4): sequential-in-array, parallel-across-rows.
+    loc_filtered = F.filter(
+        F.col("locators"), lambda l: F.coalesce(l["label"], F.lit("")) != ""
+    )
+    seed_base = lambda l: F.coalesce(  # noqa: E731
+        _truthy_uri(l["uri"]), F.lower(strip_col(l["label"]))
+    )
+    visits = visits.withColumn(
+        "loc_chain",
+        F.aggregate(
+            loc_filtered,
+            F.struct(
+                F.col("org_iri").alias("prev"),
+                F.array().cast(_LOC_CHAIN_TYPE).alias("acc"),
+            ),
+            lambda acc, l: F.struct(
+                kb_iri("loc", F.concat(acc["prev"], F.lit("::"), seed_base(l))).alias("prev"),
+                F.concat(
+                    acc["acc"],
+                    F.array(
+                        F.struct(
+                            kb_iri(
+                                "loc", F.concat(acc["prev"], F.lit("::"), seed_base(l))
+                            ).alias("iri"),
+                            l["label"].alias("label"),
+                            _truthy_uri(l["uri"]).alias("uri"),
+                            acc["prev"].alias("prev"),
+                        )
+                    ),
+                ).alias("acc"),
+            ),
+            lambda acc: acc["acc"],
+        ),
+    ).withColumn(
+        "last_loc_iri",
+        F.when(F.size("loc_chain") > 0, F.element_at("loc_chain", -1)["iri"]),
+    )
+
+    var_seed = F.when(
+        F.col("chain_seed").isNotNull(),
+        F.concat(
+            F.col("org_iri"), F.lit("::"), F.col("chain_seed"), F.lit("::"),
+            F.lower(strip_col(F.col("var_label_eff"))),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("__noloc__::"), F.col("char_id"), F.lit("::"),
+            F.lower(strip_col(F.col("var_label_eff"))),
+        )
+    )
+    visits = visits.withColumn(
+        "var_iri", F.when(F.col("has_variable"), kb_iri("var", var_seed))
+    )
+
+    # state/quality join (J5)
+    stj = states_x.select(
+        F.col("repo").alias("__st_repo"),
+        F.col("commit").alias("__st_commit"),
+        F.col("char_pos").alias("st_char_pos"),
+        F.col("state_idx").alias("st_idx"),
+        F.col("sta_iri").alias("st_sta_iri"),
+        F.col("qua_iri").alias("st_qua_iri"),
+        F.col("qua_label").alias("st_qua_label"),
+        F.col("uri_t").alias("st_uri"),
+        F.col("neg_resolved").alias("st_neg_resolved"),
+        F.col("comp_iri").alias("st_comp_iri"),
+        F.col("char_var_uri").alias("st_var_uri"),
+    )
+    visits = visits.join(
+        F.broadcast(stj),
+        (F.col("repo") == F.col("__st_repo"))
+        & (F.col("commit") == F.col("__st_commit"))
+        & (F.col("char_pos") == F.col("st_char_pos"))
+        & (F.col("state_index") == F.col("st_idx")),
+        "left",
+    ).drop("__st_repo", "__st_commit")
+
+    visits = visits.withColumn(
+        "per_org_qua_iri",
+        F.when(
+            F.col("st_qua_iri").isNotNull(),
+            kb_iri(
+                "qua",
+                F.concat(
+                    F.col("org_iri"), F.lit("::"), F.col("char_id"), F.lit("::"),
+                    F.col("st_qua_iri"),
+                ),
+            ),
+        ),
+    )
+
+    w_visit = Window.partitionBy(*DOC).orderBy("char_pos", "taxon_pos", "vord")
+    visits = visits.withColumn("phe_n", F.row_number().over(w_visit))
+
+    if materialize:
+        charsx = charsx.localCheckpoint(eager=False)
+        states_x = states_x.localCheckpoint(eager=False)
+        cells_j = cells_j.localCheckpoint(eager=False)
+        visits = visits.localCheckpoint(eager=False)
+
+    return _assemble(
+        spark, corpus, charsx, states_x, cells_j, visits, species, cells, meta,
+        materialize,
+    )
+
+
+def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, meta,
+              materialize=True):
+    """Emit all triple families, tag parts, and build the final graph."""
+    NI = T.OWL_NAMED_INDIVIDUAL
+
+    # -- base part (constant scaffold per document) -----------------------
+    docs = corpus.select(*DOC).distinct()
+    base_df = spark.createDataFrame(
+        base_triples(), "s string, p string, o string, lit boolean, dt string"
+    )
+    base_part = docs.join(F.broadcast(base_df))
+
+    # -- char part: char node + provenance + state typing -----------------
+    char_nodes = emit(
+        charsx,
+        t("char_iri", T.RDF_TYPE, T.CDAO_CHARACTER),
+        tl("char_iri", T.RDFS_LABEL, F.col("char_label_eff")),
+        t("char_iri", T.RDF_TYPE, NI),
+        when_t(F.col("src_iri").isNotNull(), t("src_iri", T.RDF_TYPE, T.PROV_ENTITY)),
+        when_t(F.col("src_iri").isNotNull(), tl("src_iri", T.RDFS_LABEL, F.col("source_text"))),
+        when_t(F.col("src_iri").isNotNull(), t("char_iri", T.PROV_HAD_PRIMARY_SOURCE, F.col("src_iri"))),
+    )
+    # F9 second sp- mint site (SpeciesLabel+SpeciesID rows)
+    sp2 = charsx.filter(
+        (norm_taxon_label(F.col("species_label")) != "") & F.col("species_id").isNotNull()
+    ).withColumn("sp2_label", norm_taxon_label(F.col("species_label"))).withColumn(
+        "sp2_iri", kb_iri("sp", F.col("sp2_label"))
+    )
+    sp2_triples = emit(
+        sp2,
+        t("sp2_iri", T.RDF_TYPE, T.TXR_SPECIES),
+        tl("sp2_iri", T.RDFS_LABEL, F.col("sp2_label")),
+        t("sp2_iri", T.DWC_PARENT_NAME_USAGE_ID,
+          F.concat(F.lit("https://www.gbif.org/species/"), F.col("species_id"))),
+    )
+    char_states = emit(
+        states_x,
+        t("sta_iri", T.RDF_TYPE, T.CDAO_STATE),
+        t("char_iri", T.PHB_MAY_HAVE_STATE, "sta_iri"),
+    )
+    char_part = union_emissions(char_nodes, sp2_triples, char_states)
+
+    # -- matrix part ------------------------------------------------------
+    mx = charsx.select(*DOC, "mx_iri").distinct()
+    mx_triples = emit(
+        mx,
+        t("mx_iri", T.RDF_TYPE, T.CDAO_MATRIX),
+        tl("mx_iri", T.RDFS_LABEL, F.lit("matrix:id-1")),
+        tl("mx_iri", T.DC_DESCRIPTION, F.lit("matrix description")),
+        t("mx_iri", T.RDF_TYPE, NI),
+    )
+    mx_char_links = emit(charsx, t("mx_iri", T.CDAO_HAS_CHARACTER, "char_iri"))
+
+    sta_qua_triples = emit(
+        states_x,
+        # quality class typing (handle_quality, main.py:1026-1035)
+        when_t(F.col("uri_t").isNotNull(), t("uri_t", T.RDF_TYPE, T.OWL_CLASS)),
+        when_t(F.col("uri_t").isNotNull(), tl("uri_t", T.RDFS_LABEL, F.col("labelN"))),
+        when_t(F.col("uri_t").isNotNull(), t("qua_iri", T.RDF_TYPE, "uri_t")),
+        t("qua_iri", T.RDF_TYPE, NI),
+        tl("qua_iri", T.RDFS_LABEL, F.col("qua_label")),
+        # negation restriction/complement (F7, main.py:1037-1076)
+        when_t(F.col("neg_resolved"),
+               tl("restr_iri", T.RDFS_LABEL,
+                  F.concat(F.lit("has_characteristic some "), F.col("base_label")))),
+        when_t(F.col("neg_resolved"), t("restr_iri", T.RDF_TYPE, T.OWL_RESTRICTION)),
+        when_t(F.col("neg_resolved"), t("restr_iri", T.OWL_ON_PROPERTY, T.RO_HAS_CHARACTERISTIC)),
+        when_t(F.col("neg_resolved"), t("restr_iri", T.OWL_SOME_VALUES_FROM, "resolved_uri")),
+        when_t(F.col("neg_resolved"), t("comp_iri", T.RDF_TYPE, T.OWL_CLASS)),
+        when_t(F.col("neg_resolved"), t("comp_iri", T.OWL_COMPLEMENT_OF, "restr_iri")),
+        when_t(F.col("neg_resolved"),
+               tl("comp_iri", T.RDFS_LABEL,
+                  F.concat(F.lit("NOT (has_characteristic some "), F.col("base_label"), F.lit(")")))),
+        when_t(F.col("neg_resolved"), t("qua_iri", T.RDF_TYPE, "comp_iri")),
+        when_t(F.col("neg_resolved") & F.col("char_var_uri").isNotNull(),
+               t("char_var_uri", T.RDF_TYPE, T.OWL_CLASS)),
+        when_t(F.col("neg_resolved") & F.col("char_var_uri").isNotNull(),
+               t("qua_iri", T.RDF_TYPE, "char_var_uri")),
+        # matrix-phase state labels (A2 with phase-b offset)
+        t("sta_iri", T.RDF_TYPE, T.CDAO_STATE),
+        t("sta_iri", T.RDF_TYPE, NI),
+        tl("sta_iri", T.RDFS_LABEL, F.col("sta_label")),
+        t("char_iri", T.PHB_MAY_HAVE_STATE, "sta_iri"),
+    )
+
+    cell_triples = emit(
+        cells_j,
+        tl("cell_iri", T.RDFS_LABEL, F.concat(F.lit("cell:id-"), F.col("cell_n"))),
+        tl("cell_iri", T.DC_DESCRIPTION,
+           F.concat(F.lit("Cell for taxon "), F.col("taxon"),
+                    F.lit(", character "), F.col("char_id"))),
+        t("cell_iri", T.RDF_TYPE, NI),
+        t("cell_iri", T.RDF_TYPE, T.CDAO_CELL),
+        t("cell_iri", T.CDAO_BELONGS_TO_CHARACTER, "char_iri"),
+    )
+
+    visit_triples = emit(
+        visits,
+        tl("phe_iri", T.KB_SORT_CHAR_NUM, F.col("char_sort_num"), dt=T.XSD_INTEGER),
+        tl("phe_iri", T.KB_SORT_SPECIES, F.col("norm_taxon")),
+        tl("phe_iri", T.DC_DESCRIPTION,
+           F.concat(F.lit("Phenotype statement for "),
+                    F.coalesce(F.col("char_label"), F.col("char_id")),
+                    F.lit(" in "), F.col("norm_taxon"))),
+        t("phe_iri", T.RDF_TYPE, NI),
+        tl("phe_iri", T.RDFS_LABEL, F.concat(F.lit("phenotype:id-"), F.col("phe_n"))),
+        t("phe_iri", T.RDF_TYPE, "stmt_type"),
+        # organism class + instance typing (handle_organism)
+        t("v_org_uri", T.RDF_TYPE, T.OWL_CLASS),
+        tl("v_org_uri", T.RDFS_LABEL, F.col("v_org_label")),
+        t("org_iri", T.RDF_TYPE, "v_org_uri"),
+        t("org_iri", T.RDF_TYPE, NI),
+        # TU scaffolding in the cell loop (main.py:1833-1842)
+        t("tu_iri", T.RDF_TYPE, NI),
+        t("tu_iri", T.RDF_TYPE, T.CDAO_TU),
+        t("org_iri", T.RO_HAS_ROLE_IN_MODELLING, "tu_iri"),
+        t("cell_iri", T.CDAO_BELONGS_TO_TU, "tu_iri"),
+        t("mx_iri", T.CDAO_HAS_TU, "tu_iri"),
+        t("phe_iri", T.PHB_HAS_ORGANISM, "org_iri"),
+        # variable (handle_variable_component)
+        when_t(F.col("var_iri").isNotNull() & F.col("var_uri").isNotNull() & (F.col("var_uri") != ""),
+               t("var_uri", T.RDF_TYPE, T.OWL_CLASS)),
+        when_t(F.col("var_iri").isNotNull() & F.col("var_uri").isNotNull() & (F.col("var_uri") != ""),
+               tl("var_uri", T.RDFS_LABEL, F.col("var_label_eff"))),
+        when_t(F.col("var_iri").isNotNull() & F.col("var_uri").isNotNull() & (F.col("var_uri") != ""),
+               t("var_iri", T.RDF_TYPE, "var_uri")),
+        when_t(F.col("var_iri").isNotNull() & F.col("var_comment").isNotNull()
+               & (F.col("var_comment") != ""),
+               tl("var_iri", T.RDFS_COMMENT, F.col("var_comment"))),
+        when_t(F.col("var_iri").isNotNull(), t("phe_iri", T.PHB_HAS_VARIABLE, "var_iri")),
+        # per-organism quality clone (F6, main.py:1864-1883)
+        when_t(F.col("per_org_qua_iri").isNotNull(), t("per_org_qua_iri", T.RDF_TYPE, NI)),
+        when_t(F.col("per_org_qua_iri").isNotNull(),
+               tl("per_org_qua_iri", T.RDFS_LABEL, F.coalesce(F.col("st_qua_label"), F.lit("quality")))),
+        when_t(F.col("per_org_qua_iri").isNotNull() & F.col("st_uri").isNotNull(),
+               t("per_org_qua_iri", T.RDF_TYPE, "st_uri")),
+        when_t(F.col("per_org_qua_iri").isNotNull() & F.col("st_neg_resolved"),
+               t("per_org_qua_iri", T.RDF_TYPE, "st_comp_iri")),
+        when_t(F.col("per_org_qua_iri").isNotNull() & F.col("st_neg_resolved")
+               & F.col("st_var_uri").isNotNull(),
+               t("per_org_qua_iri", T.RDF_TYPE, "st_var_uri")),
+        when_t(F.col("per_org_qua_iri").isNotNull() & F.col("last_loc_iri").isNotNull(),
+               t("last_loc_iri", T.RO_HAS_CHARACTERISTIC, "per_org_qua_iri")),
+        when_t(F.col("per_org_qua_iri").isNotNull(),
+               t("phe_iri", T.PHB_HAS_QUALITY, "per_org_qua_iri")),
+        # cell -> state / phenotype links
+        when_t(F.col("st_sta_iri").isNotNull(), t("cell_iri", T.CDAO_HAS_STATE, "st_sta_iri")),
+        t("cell_iri", T.PHB_REFERS_TO_STATEMENT, "phe_iri"),
+    )
+
+    # locator triples per visit (F4 chain links + classes + phe links)
+    loc_x = visits.select(
+        *DOC, "char_pos", "taxon_pos", "vord", "phe_iri",
+        F.posexplode("loc_chain").alias("lpos", "lc"),
+    )
+    loc_triples = emit(
+        loc_x,
+        when_t(F.col("lc.uri").isNotNull(), tl(F.col("lc.uri"), T.RDFS_LABEL, F.col("lc.label"))),
+        when_t(F.col("lc.uri").isNotNull(), t(F.col("lc.uri"), T.RDF_TYPE, T.OWL_CLASS)),
+        when_t(F.col("lc.uri").isNotNull(), t(F.col("lc.iri"), T.RDF_TYPE, F.col("lc.uri"))),
+        t(F.col("lc.prev"), T.BFO_HAS_PART, F.col("lc.iri")),
+        t("phe_iri", T.PHB_HAS_ENTITY, F.col("lc.iri")),
+    )
+
+    # first-visit sequential labels (A1/A2) for org / loc / var entities
+    def first_visit_labels(df, iri_col, order_cols, prefix_col, fallback):
+        w_first = Window.partitionBy(*DOC, iri_col).orderBy(*order_cols)
+        w_rank = Window.partitionBy(*DOC).orderBy(*order_cols)
+        firsts = (
+            df.withColumn("__rn", F.row_number().over(w_first))
+            .filter(F.col("__rn") == 1)
+            .withColumn("__n", F.row_number().over(w_rank))
+        )
+        prefix = F.when(
+            prefix_col.isNull(), F.lit(fallback)
+        ).otherwise(strip_col(prefix_col))
+        return emit(
+            firsts,
+            t(iri_col, T.RDF_TYPE, NI),
+            tl(iri_col, T.RDFS_LABEL, F.concat(prefix, F.lit(":id-"), F.col("__n"))),
+        )
+
+    org_labels = first_visit_labels(
+        visits.select(*DOC, "char_pos", "taxon_pos", "vord", "org_iri", "v_org_label"),
+        "org_iri", ["char_pos", "taxon_pos", "vord"], F.col("v_org_label"), "organism",
+    )
+    loc_labels = first_visit_labels(
+        loc_x.select(*DOC, "char_pos", "taxon_pos", "vord", "lpos",
+                     F.col("lc.iri").alias("loc_iri"), F.col("lc.label").alias("loc_label")),
+        "loc_iri", ["char_pos", "taxon_pos", "vord", "lpos"], F.col("loc_label"), "locator",
+    )
+    var_labels = first_visit_labels(
+        visits.filter(F.col("var_iri").isNotNull()).select(
+            *DOC, "char_pos", "taxon_pos", "vord", "var_iri", "var_label_eff"
+        ),
+        "var_iri", ["char_pos", "taxon_pos", "vord"], F.col("var_label_eff"), "variable",
+    )
+
+    matrix_part = union_emissions(
+        mx_triples, mx_char_links, char_nodes, sp2_triples, sta_qua_triples,
+        cell_triples, visit_triples, loc_triples, org_labels, loc_labels, var_labels,
+    )
+
+    # -- species + TU parts ----------------------------------------------
+    taxa = (
+        cells.select(*DOC, "taxon_pos", "taxon").distinct()
+        .withColumn("taxon_label", norm_taxon_label(F.col("taxon")))
+    )
+    skeys = species.select(
+        *DOC, "sp_pos", "input_name", "valid_name", "gbif_id", "zoobank_id", "uri",
+        F.col("valid_name").alias("__key"),
+    ).unionByName(
+        species.select(
+            *DOC, "sp_pos", "input_name", "valid_name", "gbif_id", "zoobank_id", "uri",
+            F.col("input_name").alias("__key"),
+        )
+    ).filter(F.col("__key").isNotNull())
+    taxa_sp = (
+        taxa.alias("t").join(
+            F.broadcast(skeys.alias("k")),
+            (F.col("t.repo") == F.col("k.repo"))
+            & (F.col("t.commit") == F.col("k.commit"))
+            & (F.col("t.taxon_label") == F.col("k.__key")),
+            "left",
+        )
+        .groupBy("t.repo", "t.commit", "t.taxon_pos", "t.taxon", "t.taxon_label")
+        .agg(
+            F.min_by(
+                F.struct("k.valid_name", "k.input_name", "k.gbif_id", "k.zoobank_id", "k.uri"),
+                F.col("k.sp_pos"),
+            ).alias("sp")
+        )
+        .select(
+            F.col("repo"), F.col("commit"), F.col("taxon_pos"), F.col("taxon"),
+            F.col("taxon_label"), F.col("sp.*"),
+        )
+    )
+    # normalize_species_uri(info.URI, taxon_label) — input uri is already
+    # load-normalized; renormalization is idempotent (main.py:146-167,627)
+    sp_uri = F.when(
+        F.col("uri").isNull() | (F.col("uri") == ""),
+        F.concat(F.lit(T.KB), F.col("taxon_label")),
+    ).when(
+        strip_col(F.col("uri")).startswith("kb:"),
+        F.concat(F.lit(T.KB),
+                 norm_taxon_label(F.substring(strip_col(F.col("uri")), 4, 2 ** 30))),
+    ).when(
+        strip_col(F.col("uri")).startswith(T.KB),
+        F.concat(F.lit(T.KB),
+                 norm_taxon_label(F.substring(strip_col(F.col("uri")), len(T.KB) + 1, 2 ** 30))),
+    ).otherwise(strip_col(F.col("uri")))
+
+    taxa_sp = (
+        taxa_sp.withColumn("sp_uri", sp_uri)
+        .withColumn(
+            "concept_label",
+            norm_taxon_label(F.coalesce(F.nullif(F.col("valid_name"), F.lit("")), F.col("taxon_label"))),
+        )
+        .withColumn("sp_inst", kb_iri("sp", F.lower(strip_col(F.col("taxon_label")))))
+        .withColumn("tu_iri", kb_iri("tu", F.lower(strip_col(F.col("taxon_label")))))
+    )
+    species_part = emit(
+        taxa_sp,
+        t("sp_uri", T.RDF_TYPE, T.OWL_CLASS),
+        tl("sp_uri", T.RDFS_LABEL, F.col("concept_label")),
+        t("sp_uri", T.RDF_TYPE, T.TXR_SPECIES),
+        t("sp_inst", T.RDF_TYPE, "sp_uri"),
+        t("sp_inst", T.RDF_TYPE, NI),
+        tl("sp_inst", T.RDFS_LABEL, F.col("taxon_label")),
+        when_t(F.col("gbif_id").isNotNull(),
+               tl("sp_inst", T.DWC_PARENT_NAME_USAGE_ID,
+                  F.concat(F.lit("GBIF:"), F.col("gbif_id")))),
+        when_t(F.col("gbif_id").isNotNull(),
+               t("sp_inst", T.RDFS_SEEALSO,
+                 F.concat(F.lit("https://www.gbif.org/species/"), F.col("gbif_id")))),
+        when_t(F.col("zoobank_id").isNotNull(),
+               tl("sp_inst", T.DWC_TAXON_ID, F.col("zoobank_id"))),
+    )
+
+    # TU enrichment (F10): default organism from the first char row that
+    # carries both Organism and SpeciesLabel (main.py:871-890), else a
+    # per-taxon deterministic fallback (main.py:2033-2037).
+    default_org = (
+        charsx.filter(F.col("org_label").isNotNull() & F.col("species_label").isNotNull())
+        .groupBy(*DOC)
+        .agg(
+            F.min_by(
+                F.struct("org_label", "species_label", "salt"), F.col("char_pos")
+            ).alias("d")
+        )
+        .select(
+            *DOC,
+            kb_iri(
+                "org",
+                F.concat_ws(
+                    "::",
+                    F.col("d.salt"),
+                    F.coalesce(F.nullif(norm_seed_component(F.col("d.species_label")), F.lit("")),
+                               F.lit("unknown-taxon")),
+                    F.coalesce(F.nullif(norm_seed_component(F.col("d.org_label")), F.lit("")),
+                               F.lit("organism")),
+                ),
+            ).alias("default_org_iri"),
+        )
+    )
+    tu_rows = (
+        taxa_sp.join(F.broadcast(default_org), DOC, "left")
+        .withColumn(
+            "org_eff",
+            F.coalesce(
+                F.col("default_org_iri"),
+                kb_iri("org", F.concat(F.lower(strip_col(F.col("taxon_label"))), F.lit("::organism"))),
+            ),
+        )
+        .withColumn(
+            "valid_label",
+            strip_col(
+                F.coalesce(
+                    F.nullif(F.col("valid_name"), F.lit("")),
+                    F.nullif(F.col("input_name"), F.lit("")),
+                    F.nullif(F.col("taxon_label"), F.lit("")),
+                    F.lit("Unknown species"),
+                )
+            ),
+        )
+        .withColumn("__parts", F.split(F.col("valid_label"), " ", 3))
+        .withColumn(
+            "binomial",
+            F.when(
+                F.size("__parts") >= 2,
+                F.concat(F.col("__parts")[0], F.lit(" "), F.col("__parts")[1]),
+            ).otherwise(F.col("valid_label")),
+        )
+        .withColumn(
+            "author", F.when(F.size("__parts") == 3, F.col("__parts")[2]).otherwise(F.lit(""))
+        )
+        .withColumn(
+            "tu_comment",
+            strip_col(F.concat(F.lit("<i>"), F.col("binomial"), F.lit("</i> "), F.col("author"))),
+        )
+    )
+    tu_part = emit(
+        tu_rows,
+        t("tu_iri", T.RDF_TYPE, NI),
+        tl("tu_iri", T.RDFS_LABEL, F.col("taxon_label")),
+        tl("tu_iri", T.RDFS_COMMENT, F.col("tu_comment")),
+        t("org_eff", T.RDF_TYPE, NI),
+        t("tu_iri", T.RDF_TYPE, T.CDAO_TU),
+        t("tu_iri", T.IAO_DENOTES, "sp_inst"),
+    )
+
+    # -- final assembly ---------------------------------------------------
+    def with_part(df, name):
+        return df.withColumn("part", F.lit(name))
+
+    parts = union_emissions(
+        with_part(base_part, "base"),
+        with_part(char_part, "char"),
+        with_part(matrix_part, "matrix"),
+        with_part(species_part, "species"),
+        with_part(tu_part, "tu"),
+    )
+    if materialize:
+        parts = parts.localCheckpoint(eager=False)
+
+    all_triples = dedup_triples(parts.drop("part"))
+    pruned = prune_unreferenced(all_triples)
+    matrix_pruned = prune_unreferenced(
+        dedup_triples(parts.filter(F.col("part") == "matrix").drop("part"))
+    )
+    matrix_labels = matrix_pruned.filter(F.col("p") == T.RDFS_LABEL).select(*DOC, "s", "o")
+    final = apply_label_priority(matrix_labels, pruned)
+
+    return {
+        "chars": charsx,
+        "states": states_x,
+        "cells": cells_j,
+        "visits": visits,
+        "species": species,
+        "taxa": taxa_sp,
+        "parts": parts,
+        "matrix_part": matrix_part,
+        "char_part": char_part,
+        "species_part": species_part,
+        "tu_part": tu_part,
+        "base_part": base_part,
+        "matrix_pruned": matrix_pruned,
+        "triples": final,
+    }

@@ -1,0 +1,80 @@
+"""Golden end-to-end: Spark pipeline triples vs the pure-Python oracle.
+
+The driver's P/R target is >= 0.95 (BASELINE.json); we hold the pipeline
+to exact set equality against the oracle, which itself reproduces the
+reference's analytic baselines (174 phenotype statements etc.).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from rdf_generator_spark.plans.pipeline import build_graph
+
+from tests.fixtures import golden_corpus_df, golden_parsed
+from tests.oracle.refsim import RefSim
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    chars, cells, species, metadata, vocab = golden_parsed()
+    return RefSim(chars, cells, species, metadata, vocab).run()
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    return build_graph(spark, golden_corpus_df(spark))
+
+
+def _collect(df):
+    return {
+        (r["s"], r["p"], r["o"], bool(r["lit"]), r["dt"])
+        for r in df.select("s", "p", "o", "lit", "dt").collect()
+    }
+
+
+def _pr(got: set, want: set):
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want) if want else 0.0
+    return precision, recall
+
+
+def _diff_report(got, want, n=12):
+    def fam(t):
+        s = t[0]
+        return s.split("#")[-1].split("-")[0] if "#kb" not in s else s
+
+    extra = got - want
+    missing = want - got
+    lines = [f"extra={len(extra)} missing={len(missing)}"]
+    lines.append("extra families: %s" % Counter(t[0].split('#')[-1][:12] for t in list(extra)[:500]).most_common(8))
+    lines.append("missing families: %s" % Counter(t[0].split('#')[-1][:12] for t in list(missing)[:500]).most_common(8))
+    for t in sorted(extra)[:n]:
+        lines.append(f"  EXTRA {t}")
+    for t in sorted(missing)[:n]:
+        lines.append(f"  MISS  {t}")
+    return "\n".join(lines)
+
+
+def test_final_triples_match_oracle(result, oracle):
+    got = _collect(result["triples"])
+    want = oracle["final"].triples()
+    precision, recall = _pr(got, want)
+    assert precision >= 0.95 and recall >= 0.95, _diff_report(got, want)
+    # strict goal: exact equality against our own spec
+    assert got == want, _diff_report(got, want)
+
+
+def test_matrix_part_matches_oracle(result, oracle):
+    got = _collect(result["matrix_pruned"])
+    want = oracle["matrix"].triples()
+    assert got == want, _diff_report(got, want)
+
+
+def test_species_part_matches_oracle(result, oracle):
+    got = _collect(result["species_part"])
+    want = oracle["species"].triples()
+    assert got == want, _diff_report(got, want)
