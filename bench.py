@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline relational queries at $SPARK_GRAFT_SF_DIR
+plus KG-construction throughput on a deterministic synthetic corpus.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "kg": {...}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_KG_SCALE (default 1 — multiplies synthetic corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_topk",
+    "j1_broadcast_fill",
+    "j5_symbol_state_join",
+    "a5_prune_anti_join",
+    "a2_sequential_counters",
+    "dedup_exact",
+    "text_token_stats",
+    "events_sessionize",
+    "ann_cosine_topk",
+]
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("rdf-generator-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(8, 2 * cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def materialize(df) -> int:
+    """Force full computation; returns row count."""
+    return df.count()
+
+
+def run_bench(spark, sf_dir: str, kg_scale: int) -> dict:
+    from rdf_generator_spark import queries as Q
+    from rdf_generator_spark.plans.pipeline import build_graph
+    from rdf_generator_spark.sources.corpus import corpus_df
+    from rdf_generator_spark.sources.synth import synth_corpus_rows
+
+    timings = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # KG pipeline throughput on the synthetic corpus (extract -> link ->
+    # canonicalize -> final graph), the engine's primary workload.
+    Q.ensure_workers_can_import(spark)
+    rows = synth_corpus_rows(
+        n_datasets=6 * kg_scale, ntax=40, nchar=40, seed=1234,
+        giant_every=6, giant_scale=3,
+    )
+    corpus = corpus_df(spark, rows)
+    n_cells = sum(
+        c.count("\n") - 9 for _, p, _, l, c in rows if l == "nexus"
+    )
+    t0 = time.perf_counter()
+    res = build_graph(spark, corpus)
+    n_triples = materialize(res["triples"])
+    kg_sec = round(time.perf_counter() - t0, 3)
+    timings["kg_pipeline"] = kg_sec
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0),
+        "kg": {
+            "datasets": 6 * kg_scale,
+            "n_triples": n_triples,
+            "sec": kg_sec,
+            "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
+        },
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    kg_scale = int(os.environ.get("SPARK_GRAFT_KG_SCALE", "1"))
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        out = run_bench(spark, sf_dir, kg_scale)
+        out["cpus"] = cpus
+    finally:
+        spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,684 @@
+"""Driver-contract query registry: Spark impls + DuckDB oracle SQL.
+
+Each entry maps a SURVEY.md §2 operator (or a training-data-pipeline
+operator) onto the driver's relational testdata
+(/root/testdata/sf*/: region nation customer supplier part orders
+lineitem events documents embeddings). Numeric outputs are integers
+(cents / scaled) so the value-hash comparison is immune to float
+formatting; every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_PKG_ZIP_SENT = False
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the package to executors (PYTHONPATH-independent), once."""
+    global _PKG_ZIP_SENT
+    if _PKG_ZIP_SENT:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "rdf_generator_spark_pkg")
+    zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                                   os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+    _PKG_ZIP_SENT = True
+
+
+# --------------------------------------------------------------------------
+# KG-operator analogues over the relational testdata
+# --------------------------------------------------------------------------
+
+def j1_broadcast_fill(spark, sf_dir):
+    """J1 entity linking: broadcast dimension join filling 'missing' values."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    out = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return out.select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", F.col("n_name"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("filled_label"),
+    )
+
+
+def j2_first_wins_index(spark, sf_dir):
+    """J2 first-wins label index via row_number window."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("props").alias("first_props"))
+    )
+
+
+def j3_dual_key_match(spark, sf_dir):
+    """J3 dual-key species match: first record matching either key.
+
+    Spark side uses a union of two equi-joins (shuffle-friendly) instead
+    of an OR-join; results are identical."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    m1 = c.join(s, c.c_custkey == s.s_suppkey).select("c_custkey", "s_suppkey")
+    m2 = c.join(s, c.c_nationkey == s.s_nationkey).select("c_custkey", "s_suppkey")
+    return (
+        m1.unionByName(m2)
+        .groupBy("c_custkey")
+        .agg(F.min("s_suppkey").alias("matched_supp"))
+    )
+
+
+def j5_symbol_state_join(spark, sf_dir):
+    """J5 cell-symbol -> state join with invalid-symbol filtering."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "sym", F.get_json_object("props", "$.k")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        e.filter(F.col("sym").rlike(r"^\d+$"))
+        .withColumn("idx", F.col("sym").cast("int"))
+        .join(s, F.col("idx") == s.s_suppkey)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v_cents"),
+        )
+    )
+
+
+def a1_first_label_wins(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+    )
+
+
+def a2_sequential_counters(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.concat(F.lit("order:id-"), F.row_number().over(w)).alias("seq_label"),
+    )
+
+
+def a3_set_dedup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").cast("int").alias("qty")
+    ).distinct()
+
+
+def a5_prune_anti_join(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return p.join(li, "p_partkey", "left_anti").select("p_partkey")
+
+
+def j6_label_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    out = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return out.select(
+        "c_custkey",
+        F.coalesce(
+            F.when(F.col("n_regionkey") < 2, F.col("n_name")), F.col("c_name")
+        ).alias("label"),
+    )
+
+
+def f2_variant_fanout(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    variants = F.when(
+        F.col("o_orderstatus") == "O", F.array(F.lit("female"), F.lit("male"))
+    ).otherwise(F.array(F.lit("base")))
+    return o.select("o_orderkey", F.explode(variants).alias("variant"))
+
+
+def f3_statement_typing(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cls = (
+        F.when(F.col("o_orderpriority").startswith("1"), "urgent-class")
+        .when(F.col("o_orderpriority").startswith("2"), "high-class")
+        .otherwise("normal-class")
+    )
+    return o.groupBy(cls.alias("stmt_class")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def k2_metadata_salt(spark, sf_dir):
+    """K2 dataset-salt fingerprint: sha256 over sorted normalized texts."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.substring(
+                F.sha2(F.array_join(F.array_sort(F.collect_list(norm)), "||"), 256),
+                1, 16,
+            ).alias("salt")
+        )
+    )
+
+
+def v1_cardinality_rule(spark, sf_dir):
+    """V1 SHACL-style min/max cardinality as groupBy + filter."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("actual"))
+    )
+    return counts.filter((F.col("actual") < 1) | (F.col("actual") > 40))
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(c * 100).cast("bigint")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_cents"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_topk(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def o3_bucket_route(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    bucket = F.split(F.col("p_type"), " ")[0]
+    return (
+        p.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.round(F.col("p_retailprice") * 100).cast("bigint")).alias(
+                "min_price_cents"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def _tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).distinct()
+
+
+def dedup_jaccard_pairs(spark, sf_dir):
+    """n-gram (unigram) Jaccard near-dup candidates >= 0.6."""
+    toks = _tokens(spark, sf_dir)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.select(F.col("doc_id").alias("d1"), "tok")
+    b = toks.select(F.col("doc_id").alias("d2"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "d1").join(s2, "d2")
+        .filter(
+            F.col("inter_cnt") * 10
+            >= 6 * (F.col("sz1") + F.col("sz2") - F.col("inter_cnt"))
+        )
+        .select("d1", "d2", "inter_cnt")
+    )
+
+
+def minhash_band_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs: 8 md5 hashes, 2 bands of 4."""
+    toks = _tokens(spark, sf_dir)
+    hashed = toks.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("i"),
+        "tok",
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))).alias("h"),
+    )
+    sigs = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    bands = (
+        sigs.withColumn("band", (F.col("i") / 4).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list(F.concat_ws("@", F.col("i"), F.col("mh")))), "|")
+            ).alias("bh")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("d1"), "band", "bh")
+    b = bands.select(F.col("doc_id").alias("d2"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def text_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct(F.col("tok")).alias("n_uniq"),
+        F.round(
+            100.0 * F.sum(F.length("tok")) / F.count(F.lit(1))
+        ).cast("bigint").alias("avg_len_x100"),
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def text_langid(spark, sf_dir):
+    """Stopword-ratio language heuristic."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("tok").isin(_STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_stop",
+        F.when(F.col("n_stop") * 20 >= F.col("n"), "en").otherwise("other").alias(
+            "lang_guess"
+        ),
+    )
+
+
+def text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 query vector (rank only —
+    float-free output)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("q_emb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            (dot / (norm(F.col("embedding")) * norm(F.col("q_emb")))).alias("sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("sim"), "vec_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 8)
+        .select("rank", "vec_id")
+    )
+
+
+def events_sessionize(spark, sf_dir):
+    """Stateful sessionization (gap > 1800 s) as batch windows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"))
+    )
+
+
+def w1_tumbling_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Engine-native entries (no SQL oracle — rows-only checks)
+# --------------------------------------------------------------------------
+
+def k1_uuid5_mint(spark, sf_dir):
+    from rdf_generator_spark.ids import kb_iri
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", kb_iri("doc", F.col("text")).alias("iri"))
+
+
+def kg_pipeline_synth(spark, sf_dir):
+    """Full KG pipeline on a small deterministic synthetic corpus."""
+    from rdf_generator_spark.plans.pipeline import build_graph
+    from rdf_generator_spark.sources.corpus import corpus_df
+    from rdf_generator_spark.sources.synth import synth_corpus_rows
+
+    ensure_workers_can_import(spark)
+    corpus = corpus_df(spark, synth_corpus_rows(n_datasets=2, ntax=6, nchar=6, seed=11))
+    res = build_graph(spark, corpus)
+    return (
+        res["triples"]
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .orderBy("repo")
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "j1_broadcast_fill": j1_broadcast_fill,
+    "j2_first_wins_index": j2_first_wins_index,
+    "j3_dual_key_match": j3_dual_key_match,
+    "j5_symbol_state_join": j5_symbol_state_join,
+    "a1_first_label_wins": a1_first_label_wins,
+    "a2_sequential_counters": a2_sequential_counters,
+    "a3_set_dedup": a3_set_dedup,
+    "a5_prune_anti_join": a5_prune_anti_join,
+    "j6_label_priority": j6_label_priority,
+    "f2_variant_fanout": f2_variant_fanout,
+    "f3_statement_typing": f3_statement_typing,
+    "k2_metadata_salt": k2_metadata_salt,
+    "v1_cardinality_rule": v1_cardinality_rule,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_topk": q3_shipping_topk,
+    "o3_bucket_route": o3_bucket_route,
+    "dedup_exact": dedup_exact,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "minhash_band_pairs": minhash_band_pairs,
+    "text_token_stats": text_token_stats,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "ann_cosine_topk": ann_cosine_topk,
+    "events_sessionize": events_sessionize,
+    "w1_tumbling_window": w1_tumbling_window,
+    "k1_uuid5_mint": k1_uuid5_mint,
+    "kg_pipeline_synth": kg_pipeline_synth,
+}
+
+ORACLES: Dict[str, str] = {
+    "j1_broadcast_fill": """
+        SELECT c_custkey,
+               CASE WHEN c_mktsegment='BUILDING' THEN n_name ELSE c_mktsegment END
+                 AS filled_label
+        FROM customer JOIN nation ON c_nationkey=n_nationkey
+    """,
+    "j2_first_wins_index": """
+        SELECT user_id, event_type, props AS first_props
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) = 1
+    """,
+    "j3_dual_key_match": """
+        SELECT c_custkey, MIN(s_suppkey) AS matched_supp
+        FROM customer JOIN supplier
+          ON (s_suppkey=c_custkey OR s_nationkey=c_nationkey)
+        GROUP BY c_custkey
+    """,
+    "j5_symbol_state_join": """
+        WITH e AS (SELECT json_extract_string(props,'$.k') AS sym, value FROM events)
+        SELECT s_suppkey, COUNT(*) AS n,
+               SUM(CAST(ROUND(value*100) AS BIGINT)) AS v_cents
+        FROM e JOIN supplier ON TRY_CAST(sym AS INT)=s_suppkey
+        WHERE regexp_matches(sym,'^\\d+$')
+        GROUP BY s_suppkey
+    """,
+    "a1_first_label_wins": """
+        SELECT o_custkey, o_orderkey AS first_orderkey
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) = 1
+    """,
+    "a2_sequential_counters": """
+        SELECT o_orderkey,
+               'order:id-' || ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate, o_orderkey)
+                 AS seq_label
+        FROM orders
+    """,
+    "a3_set_dedup": """
+        SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_quantity AS INT) AS qty
+        FROM lineitem
+    """,
+    "a5_prune_anti_join": """
+        SELECT p_partkey FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey=p_partkey)
+    """,
+    "j6_label_priority": """
+        SELECT c_custkey,
+               COALESCE(CASE WHEN n_regionkey<2 THEN n_name END, c_name) AS label
+        FROM customer JOIN nation ON c_nationkey=n_nationkey
+    """,
+    "f2_variant_fanout": """
+        SELECT o_orderkey, 'female' AS variant FROM orders WHERE o_orderstatus='O'
+        UNION ALL
+        SELECT o_orderkey, 'male' AS variant FROM orders WHERE o_orderstatus='O'
+        UNION ALL
+        SELECT o_orderkey, 'base' AS variant FROM orders WHERE o_orderstatus<>'O'
+    """,
+    "f3_statement_typing": """
+        SELECT CASE WHEN o_orderpriority LIKE '1%' THEN 'urgent-class'
+                    WHEN o_orderpriority LIKE '2%' THEN 'high-class'
+                    ELSE 'normal-class' END AS stmt_class,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    """,
+    "k2_metadata_salt": """
+        SELECT source,
+               SUBSTRING(sha256(string_agg(
+                   regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                   '||' ORDER BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+               )), 1, 16) AS salt
+        FROM documents GROUP BY source
+    """,
+    "v1_cardinality_rule": """
+        SELECT c_custkey, COUNT(o_orderkey) AS actual
+        FROM customer LEFT JOIN orders ON o_custkey=c_custkey
+        GROUP BY c_custkey
+        HAVING COUNT(o_orderkey) < 1 OR COUNT(o_orderkey) > 40
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+               SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+                 AS sum_disc_cents,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_topk": """
+        SELECT o_orderkey,
+               SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+                 AS revenue_cents
+        FROM customer
+        JOIN orders ON c_custkey=o_custkey
+        JOIN lineitem ON o_orderkey=l_orderkey
+        WHERE c_mktsegment='BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue_cents DESC, o_orderkey
+        LIMIT 10
+    """,
+    "o3_bucket_route": """
+        SELECT string_split(p_type,' ')[1] AS bucket, COUNT(*) AS n,
+               MIN(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS min_price_cents
+        FROM part GROUP BY 1
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_jaccard_pairs": """
+        WITH toks AS (
+            SELECT DISTINCT doc_id, t.tok
+            FROM documents, UNNEST(string_split(text,' ')) AS t(tok)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter_cnt
+            FROM toks a JOIN toks b ON a.tok=b.tok AND a.doc_id<b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d1, d2, inter_cnt
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id=d1
+        JOIN sizes s2 ON s2.doc_id=d2
+        WHERE inter_cnt*10 >= 6*(s1.sz + s2.sz - inter_cnt)
+    """,
+    "minhash_band_pairs": """
+        WITH toks AS (
+            SELECT DISTINCT doc_id, t.tok
+            FROM documents, UNNEST(string_split(text,' ')) AS t(tok)
+        ),
+        hashed AS (
+            SELECT doc_id, i.i, md5(CAST(i.i AS VARCHAR) || ':' || tok) AS h
+            FROM toks CROSS JOIN (SELECT UNNEST(range(8)) AS i) i
+        ),
+        sigs AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
+        bands AS (
+            SELECT doc_id, CAST(i//4 AS INT) AS band,
+                   md5(string_agg(CAST(i AS VARCHAR) || '@' || mh, '|'
+                                  ORDER BY CAST(i AS VARCHAR) || '@' || mh)) AS bh
+            FROM sigs GROUP BY doc_id, CAST(i//4 AS INT)
+        )
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh
+                                  AND a.doc_id<b.doc_id
+    """,
+    "text_token_stats": """
+        WITH toks AS (
+            SELECT doc_id, t.tok
+            FROM documents, UNNEST(string_split(text,' ')) AS t(tok)
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_uniq,
+               CAST(ROUND(100.0*SUM(LENGTH(tok))/COUNT(*)) AS BIGINT) AS avg_len_x100
+        FROM toks GROUP BY doc_id
+    """,
+    "text_langid": """
+        WITH toks AS (
+            SELECT doc_id, t.tok
+            FROM documents, UNNEST(string_split(text,' ')) AS t(tok)
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n,
+                   SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+                            THEN 1 ELSE 0 END) AS n_stop
+            FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id, n_stop,
+               CASE WHEN n_stop*20 >= n THEN 'en' ELSE 'other' END AS lang_guess
+        FROM agg
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id=0),
+        sims AS (
+            SELECT vec_id,
+                   list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(q_emb AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q_emb AS DOUBLE[]),
+                                              CAST(q_emb AS DOUBLE[])))) AS sim
+            FROM embeddings, q WHERE vec_id<>0
+        )
+        SELECT ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rank, vec_id
+        FROM sims
+        QUALIFY rank <= 8
+    """,
+    "events_sessionize": """
+        WITH g AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                             OR date_diff('second',
+                                          lag(ts) OVER (PARTITION BY user_id
+                                                        ORDER BY ts, event_id),
+                                          ts) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        )
+        SELECT user_id, SUM(new_sess) AS n_sessions FROM g GROUP BY user_id
+    """,
+    "w1_tumbling_window": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, COUNT(*) AS n,
+               SUM(CAST(ROUND(value*100) AS BIGINT)) AS v_cents
+        FROM events GROUP BY 1, 2
+    """,
+}

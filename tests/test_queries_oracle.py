@@ -1,0 +1,77 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB at sf0.01, compare
+row multisets order-insensitively with name-sorted columns."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(round(v, 9))
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+QUERY_NAMES = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), (scols, dcols)
+    got, want = _norm_rows(scols, srows), _norm_rows(dcols, drows)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    if got != want:
+        diffs = [(g, w) for g, w in zip(got, want) if g != w][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_rows_only_queries_run(spark):
+    for name in ["k1_uuid5_mint"]:
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        assert df.count() > 0 and len(df.columns) >= 2
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert df.columns == ["o_orderkey", "revenue_cents"]
