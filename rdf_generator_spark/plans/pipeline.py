@@ -458,10 +458,10 @@ def build_graph(
     visits = visits.withColumn("phe_n", F.row_number().over(w_visit))
 
     if materialize:
-        charsx = charsx.localCheckpoint(eager=False)
-        states_x = states_x.localCheckpoint(eager=False)
-        cells_j = cells_j.localCheckpoint(eager=False)
-        visits = visits.localCheckpoint(eager=False)
+        charsx = charsx.localCheckpoint(eager=True)
+        states_x = states_x.localCheckpoint(eager=True)
+        cells_j = cells_j.localCheckpoint(eager=True)
+        visits = visits.localCheckpoint(eager=True)
 
     return _assemble(
         spark, corpus, charsx, states_x, cells_j, visits, species, cells, meta,
@@ -832,7 +832,7 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         with_part(tu_part, "tu"),
     )
     if materialize:
-        parts = parts.localCheckpoint(eager=False)
+        parts = parts.localCheckpoint(eager=True)
 
     all_triples = dedup_triples(parts.drop("part"))
     pruned = prune_unreferenced(all_triples)

@@ -1,0 +1,336 @@
+"""Sectioned Turtle serialization (S1-S4, main.py:1273-1593).
+
+The reference's writer renders per-subject `;`-chained blocks grouped
+into CLASSES / INDIVIDUALS (12 prefix buckets) / Properties / Other,
+with a fixed prefix header and a custom qname policy. Here the subject
+classification, bucket routing and ordering keys are computed
+relationally; block text is rendered by an Arrow-batched
+``applyInPandas`` over hash-salted groups, and files are assembled by
+ordering `(section, bucket, sort keys, subject)` — at scale each ordered
+range becomes a shard (`repartitionByRange` + per-partition write), on
+the golden corpus a single file per document.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as TT
+
+from rdf_generator_spark import terms as T
+
+DOC = ["repo", "commit"]
+
+_PREFIX_BLOCK = "\n".join(f"@prefix {p}: <{ns}> ." for p, ns in T.PREFIXES)
+
+_ONTOLOGY_HEADER = (
+    "<http://www.phenobees.org/kb> a owl:Ontology ;\n"
+    "  owl:imports <https://raw.githubusercontent.com/tsrsilva/rdf-generator/"
+    "main/data/ontologies/phb.owl> .\n\n"
+)
+
+_FORCE_FULL = {"bfo", "cdao", "iao", "pato", "phb", "pmck", "ro", "txr", "uberon"}
+
+# Individual buckets in section order (main.py:1424-1437)
+_BUCKETS = [
+    ("sp-", "## --- Species instances --- ##"),
+    ("phe-", "## --- Phenotype instances --- ##"),
+    ("org-", "## --- Organism instances --- ##"),
+    ("loc-", "## --- Locator instances --- ##"),
+    ("var-", "## --- Variable instances --- ##"),
+    ("qua-", "## --- Quality instances --- ##"),
+    ("sta-", "## --- State instances --- ##"),
+    ("mx-", "## --- Matrix instances --- ##"),
+    ("char-", "## --- Character instances --- ##"),
+    ("tu-", "## --- TU instances --- ##"),
+    ("cell-", "## --- Cell instances --- ##"),
+    ("", "## --- Other Individuals --- ##"),
+]
+
+_IDV_PREFERRED = [
+    T.RDFS_LABEL, T.RDF_TYPE, T.DWC_PARENT_NAME_USAGE_ID, T.RDFS_SEEALSO,
+    T.PHB_HAS_ORGANISM, T.PHB_HAS_ENTITY, T.PHB_HAS_VARIABLE,
+    T.PHB_HAS_QUALITY, T.PHB_MAY_HAVE_STATE, T.PHB_REFERS_TO_STATEMENT,
+    T.BFO_HAS_PART, T.RO_HAS_CHARACTERISTIC, T.RO_HAS_ROLE_IN_MODELLING,
+    T.IAO_DENOTES, T.CDAO_HAS_STATE, T.CDAO_BELONGS_TO_TU,
+    T.CDAO_BELONGS_TO_CHARACTER, T.CDAO_HAS_CHARACTER, T.CDAO_HAS_TU,
+]
+_CLS_PREFERRED = [T.RDFS_LABEL, T.RDF_TYPE]
+
+# Sections: rank -> (header, preferred predicate order)
+SECTION_CLASSES = 0
+SECTION_INDIVIDUALS = 1
+SECTION_OBJ_PROPS = 2
+SECTION_DATA_PROPS = 3
+SECTION_ANNOT_PROPS = 4
+SECTION_OTHER = 5
+
+_SECTION_HEADERS = {
+    SECTION_CLASSES: "### ===================== ### \n### ====== CLASSES ====== ###\n### ===================== ### \n\n",
+    SECTION_INDIVIDUALS: "### ===================== ### \n### ==== INDIVIDUALS ==== ###\n### ===================== ### \n\n",
+    SECTION_OBJ_PROPS: "### ==============================\n### Properties\n### ==============================\n\n## --- ObjectProperties ---\n\n",
+    SECTION_DATA_PROPS: "## --- DatatypeProperties ---\n\n",
+    SECTION_ANNOT_PROPS: "## --- AnnotationProperties ---\n\n",
+    SECTION_OTHER: "### ==============================\n### Other Triples\n### ==============================\n\n",
+}
+
+
+def _is_kb_generated(u: str) -> bool:
+    if not u.startswith(T.KB):
+        return False
+    return u[len(T.KB):].startswith(T.KB_GENERATED_PREFIXES)
+
+
+def render_iri(u: str) -> str:
+    """_render_node for IRIs (main.py:1316-1338)."""
+    if u.startswith(T.KB) and not _is_kb_generated(u):
+        return f"<{u}>"
+    for pref, ns in T.PREFIXES:
+        if u.startswith(ns):
+            local = u[len(ns):]
+            if "/" in local or "#" in local or not local:
+                continue
+            if pref in _FORCE_FULL:
+                return f"<{u}>"
+            return f"{pref}:{local}"
+    return f"<{u}>"
+
+
+def render_literal(o: str, dt: str | None) -> str:
+    """rdflib Literal.n3() equivalent for our value space."""
+    esc = (
+        o.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+    if dt:
+        return f'"{esc}"^^<{dt}>'
+    return f'"{esc}"'
+
+
+def render_node(o: str, lit: bool, dt: str | None) -> str:
+    return render_literal(o, dt) if lit else render_iri(o)
+
+
+def _render_block(subj: str, pos: List[Tuple[int, str, str, str]]) -> str:
+    """One `### <subj>` block; pos = sorted (rank, p_txt, o_txt, o_sortkey)."""
+    subj_txt = render_iri(subj)
+    lines = [f"### {subj_txt}"]
+    for idx, (_rank, p_txt, o_txt, _osort) in enumerate(pos):
+        is_last = idx == len(pos) - 1
+        term = " ." if is_last else " ;"
+        if idx == 0:
+            line = f"{subj_txt} {p_txt} {o_txt} {term}"
+        else:
+            line = f"  {p_txt} {o_txt} {term}"
+        lines.append(line.replace("  .", " .").replace("  ;", " ;"))
+    return "\n".join(lines) + "\n"
+
+
+BLOCKS_SCHEMA = TT.StructType(
+    [
+        TT.StructField("repo", TT.StringType()),
+        TT.StructField("commit", TT.StringType()),
+        TT.StructField("section", TT.IntegerType()),
+        TT.StructField("bucket", TT.IntegerType()),
+        TT.StructField("sort1", TT.LongType()),
+        TT.StructField("sort2", TT.StringType()),
+        TT.StructField("s", TT.StringType()),
+        TT.StructField("text", TT.StringType()),
+    ]
+)
+
+
+def classify_subjects(triples: DataFrame) -> DataFrame:
+    """(doc, s, section) — a subject may appear in several sections
+    (classes/individuals/properties); 'Other' only if in none."""
+    def typed(klass):
+        return (
+            triples.filter(
+                (F.col("p") == T.RDF_TYPE) & (F.col("o") == klass) & (~F.col("lit"))
+            )
+            .select(*DOC, "s")
+            .distinct()
+        )
+
+    classes = (
+        typed(T.OWL_CLASS)
+        .unionByName(typed(T.RDF_NS + "Class"))
+        .unionByName(typed(T.RDFS_NS + "Class"))
+        .unionByName(typed(T.OWL_RESTRICTION))
+        .unionByName(
+            # local URIs used as rdf:type objects (main.py:1351-1354)
+            triples.filter(
+                (F.col("p") == T.RDF_TYPE)
+                & (~F.col("lit"))
+                & F.col("o").startswith(T.KB)
+            )
+            .select(*DOC, F.col("o").alias("s"))
+            .distinct()
+        )
+        .distinct()
+        .withColumn("section", F.lit(SECTION_CLASSES))
+    )
+    individuals = typed(T.OWL_NAMED_INDIVIDUAL).withColumn(
+        "section", F.lit(SECTION_INDIVIDUALS)
+    )
+    objp = typed(T.OWL_OBJECT_PROPERTY).withColumn("section", F.lit(SECTION_OBJ_PROPS))
+    datap = typed(T.OWL_DATATYPE_PROPERTY).withColumn("section", F.lit(SECTION_DATA_PROPS))
+    annotp = typed(T.OWL_ANNOTATION_PROPERTY).withColumn(
+        "section", F.lit(SECTION_ANNOT_PROPS)
+    )
+    sectioned = classes.unionByName(individuals).unionByName(objp).unionByName(
+        datap
+    ).unionByName(annotp)
+    others = (
+        triples.select(*DOC, "s")
+        .distinct()
+        .join(sectioned.select(*DOC, "s").distinct(), DOC + ["s"], "left_anti")
+        .withColumn("section", F.lit(SECTION_OTHER))
+    )
+    return sectioned.unionByName(others)
+
+
+def turtle_blocks(triples: DataFrame, salt_groups: int = 64) -> DataFrame:
+    """Render per-subject blocks -> (doc, section, bucket, sort1, sort2,
+    s, text), ready to be ordered into files/shards."""
+    subjects = classify_subjects(triples)
+
+    # bucket rank for individuals; 0 elsewhere
+    local = F.when(
+        F.col("s").startswith(T.KB), F.expr(f"substring(s, {len(T.KB) + 1})")
+    ).otherwise(F.lit(""))
+    bucket = F.lit(len(_BUCKETS) - 1)
+    for i in range(len(_BUCKETS) - 2, -1, -1):
+        bucket = F.when(local.startswith(_BUCKETS[i][0]), F.lit(i)).otherwise(bucket)
+    subjects = subjects.withColumn(
+        "bucket",
+        F.when(F.col("section") == SECTION_INDIVIDUALS, bucket).otherwise(F.lit(0)),
+    )
+
+    # phenotype metadata sort (main.py:1471-1494): kb:sortCharNum int +
+    # kb:sortSpecies string, defaults push to the end
+    sort_char = (
+        triples.filter(F.col("p") == T.KB_SORT_CHAR_NUM)
+        .groupBy(*DOC, "s")
+        .agg(F.min(F.col("o").cast("long")).alias("__sc"))
+    )
+    sort_sp = (
+        triples.filter(F.col("p") == T.KB_SORT_SPECIES)
+        .groupBy(*DOC, "s")
+        .agg(F.min("o").alias("__ss"))
+    )
+    subjects = (
+        subjects.join(sort_char, DOC + ["s"], "left")
+        .join(sort_sp, DOC + ["s"], "left")
+        .withColumn(
+            "sort1",
+            F.when(
+                (F.col("section") == SECTION_INDIVIDUALS)
+                & (F.col("bucket") == 1)
+                & F.col("__sc").isNotNull()
+                & F.col("__ss").isNotNull(),
+                F.col("__sc"),
+            ).otherwise(F.lit(10 ** 9)),
+        )
+        .withColumn(
+            "sort2",
+            F.when(F.col("sort1") < 10 ** 9, F.col("__ss")).otherwise(F.lit("")),
+        )
+        .drop("__sc", "__ss")
+    )
+
+    joined = triples.join(subjects, DOC + ["s"], "inner").withColumn(
+        "__salt", F.abs(F.hash("s")) % salt_groups
+    )
+
+    def render_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (repo, commit, section, bucketv, sort1, sort2, s), grp in pdf.groupby(
+            ["repo", "commit", "section", "bucket", "sort1", "sort2", "s"], sort=False
+        ):
+            preferred = (
+                _IDV_PREFERRED if section == SECTION_INDIVIDUALS else _CLS_PREFERRED
+            )
+            rankmap = {p: i for i, p in enumerate(preferred)}
+            pos = []
+            for p, o, lit, dt in zip(grp["p"], grp["o"], grp["lit"], grp["dt"]):
+                o_txt = render_node(o, bool(lit), dt if pd.notna(dt) else None)
+                if section == SECTION_OTHER:
+                    rank = 0
+                    key = (str(p), str(o))
+                else:
+                    rank = rankmap.get(p, len(preferred))
+                    key = (rank, str(p), str(o))
+                pos.append((key, rank, render_iri(p), o_txt, str(o)))
+            pos.sort(key=lambda x: x[0])
+            text = _render_block(s, [(r, pt, ot, osk) for _, r, pt, ot, osk in pos])
+            out.append(
+                {
+                    "repo": repo, "commit": commit, "section": int(section),
+                    "bucket": int(bucketv), "sort1": int(sort1),
+                    "sort2": sort2 if sort2 is not None else "",
+                    "s": s, "text": text,
+                }
+            )
+        return pd.DataFrame(out, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+
+    return joined.groupBy(*DOC, "section", "__salt").applyInPandas(
+        render_group, BLOCKS_SCHEMA
+    )
+
+
+def assemble_document(blocks_rows: Iterable) -> str:
+    """Driver-side assembly of one document's ordered block rows into the
+    full sectioned Turtle text (headers per main.py:1372-1570)."""
+    parts = [_PREFIX_BLOCK, "\n\n", _ONTOLOGY_HEADER]
+    cur_section = None
+    cur_bucket = None
+    for r in blocks_rows:
+        if r["section"] != cur_section:
+            cur_section = r["section"]
+            cur_bucket = None
+            parts.append(_SECTION_HEADERS[cur_section])
+        if cur_section == SECTION_INDIVIDUALS and r["bucket"] != cur_bucket:
+            cur_bucket = r["bucket"]
+            parts.append(_BUCKETS[cur_bucket][1] + "\n\n")
+        parts.append(r["text"])
+        parts.append("\n")
+    return "".join(parts)
+
+
+def write_turtle(triples: DataFrame, out_path_fn, salt_groups: int = 64) -> int:
+    """Write one .ttl per document. ``out_path_fn(repo, commit) -> path``.
+    Returns number of documents written. Ordered streaming per document
+    via toLocalIterator (shard-per-range at cluster scale instead)."""
+    blocks = turtle_blocks(triples, salt_groups).orderBy(
+        *DOC, "section", "bucket", "sort1", "sort2", "s"
+    )
+    n = 0
+    current = None
+    fh = None
+    header_state: dict = {}
+    for row in blocks.toLocalIterator():
+        key = (row["repo"], row["commit"])
+        if key != current:
+            if fh:
+                fh.close()
+            current = key
+            fh = open(out_path_fn(*key), "w", encoding="utf-8")
+            fh.write(_PREFIX_BLOCK + "\n\n" + _ONTOLOGY_HEADER)
+            header_state = {"section": None, "bucket": None}
+            n += 1
+        if row["section"] != header_state["section"]:
+            header_state["section"] = row["section"]
+            header_state["bucket"] = None
+            fh.write(_SECTION_HEADERS[row["section"]])
+        if row["section"] == SECTION_INDIVIDUALS and row["bucket"] != header_state["bucket"]:
+            header_state["bucket"] = row["bucket"]
+            fh.write(_BUCKETS[row["bucket"]][1] + "\n\n")
+        fh.write(row["text"])
+        fh.write("\n")
+    if fh:
+        fh.close()
+    return n

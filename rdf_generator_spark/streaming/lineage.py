@@ -1,0 +1,93 @@
+"""Checkpoint-resumable runs with per-partition lineage + metrics.
+
+North-rule contract (BASELINE.json): per-document lineage rows keyed by
+(repo, path, commit) with the `sha2(content, 256)` invariant; on restart
+the corpus is anti-joined against the lineage table so completed
+documents are skipped — batch resume per Iceberg snapshot without
+Structured Streaming state (SURVEY.md §2 "Streaming").
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC = ["repo", "commit"]
+
+LINEAGE_COLS = [
+    "repo", "path", "commit", "content_sha256", "n_triples",
+    "partition_id", "snapshot_id", "wall_ms",
+]
+
+
+def content_lineage(corpus: DataFrame) -> DataFrame:
+    """Per-row lineage identity: the sha256(content) invariant."""
+    return corpus.select(
+        "repo", "path", "commit", F.sha2(F.col("content"), 256).alias("content_sha256")
+    )
+
+
+def pending_corpus(corpus: DataFrame, lineage: Optional[DataFrame]) -> DataFrame:
+    """Documents not yet recorded as done — the resume anti-join.
+
+    A document group (repo, commit) is skipped only if ALL of its files
+    appear in the lineage with matching content hashes; content drift
+    (same path, new sha) reprocesses the document.
+    """
+    if lineage is None:
+        return corpus
+    done_files = lineage.select(
+        "repo", "path", "commit", "content_sha256"
+    ).distinct()
+    files = content_lineage(corpus)
+    outstanding = files.join(
+        done_files, ["repo", "path", "commit", "content_sha256"], "left_anti"
+    ).select(*DOC).distinct()
+    return corpus.join(outstanding, DOC, "left_semi")
+
+
+def run_resumable(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    dataset_id: Optional[str] = None,
+    snapshot_id: str = "",
+) -> Dict[str, int]:
+    """One resumable batch: skip done docs, build, append triples +
+    lineage parquet (partitioned by repo). Returns counters."""
+    from rdf_generator_spark.plans.pipeline import build_graph
+
+    triples_path = os.path.join(out_dir, "triples")
+    lineage_path = os.path.join(out_dir, "lineage")
+
+    lineage = None
+    if os.path.exists(lineage_path):
+        lineage = spark.read.parquet(lineage_path)
+    todo = pending_corpus(corpus, lineage)
+    n_docs = todo.select(*DOC).distinct().count()
+    if n_docs == 0:
+        return {"docs": 0, "triples": 0}
+
+    t0 = time.perf_counter()
+    res = build_graph(spark, todo, dataset_id=dataset_id)
+    triples = res["triples"]
+    triples.write.mode("append").partitionBy("repo").parquet(triples_path)
+    wall_ms = int((time.perf_counter() - t0) * 1000)
+
+    counts = triples.groupBy(*DOC).agg(F.count(F.lit(1)).alias("n_triples"))
+    lineage_rows = (
+        content_lineage(todo)
+        .join(counts, DOC, "left")
+        .fillna(0, subset=["n_triples"])
+        .withColumn("partition_id", F.spark_partition_id())
+        .withColumn("snapshot_id", F.lit(snapshot_id))
+        .withColumn("wall_ms", F.lit(wall_ms))
+        .select(*LINEAGE_COLS)
+    )
+    lineage_rows.write.mode("append").parquet(lineage_path)
+    n_triples = spark.read.parquet(triples_path).count()
+    return {"docs": n_docs, "triples": n_triples}

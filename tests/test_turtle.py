@@ -1,0 +1,117 @@
+"""Turtle sink: roundtrip (render -> parse -> same triple set) and
+structural checks against the reference's section/bucket layout."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from rdf_generator_spark import terms as T
+from rdf_generator_spark.plans.pipeline import build_graph
+from rdf_generator_spark.sinks import turtle
+
+from tests.fixtures import golden_corpus_df
+
+PREFIX_MAP = dict(T.PREFIXES)
+
+
+def _expand(tok: str) -> str:
+    if tok.startswith("<") and tok.endswith(">"):
+        return tok[1:-1]
+    pref, local = tok.split(":", 1)
+    return PREFIX_MAP[pref] + local
+
+
+_LINE = re.compile(r"^(?:(\S+)\s+)?(\S+)\s+(.+?)\s+([.;])$")
+
+
+def parse_turtle(text: str):
+    """Minimal parser for OUR writer's output shape."""
+    triples = set()
+    subj = None
+    for raw in text.splitlines():
+        line = raw.rstrip()
+        if (not line or line.startswith("@prefix") or line.startswith("#")
+                or line.startswith("<http://www.phenobees.org/kb>")
+                or line.startswith("  owl:imports")):
+            continue
+        m = _LINE.match(line.strip())
+        if not m:
+            continue
+        s_tok, p_tok, o_tok, _term = m.groups()
+        if not raw.startswith("  ") and s_tok:
+            subj = _expand(s_tok)
+        elif s_tok:
+            # continuation lines start with two spaces and have no subject
+            p_tok, o_tok = s_tok, f"{p_tok} {m.group(3)}"
+            o_tok = line.strip().split(None, 1)[1].rsplit(None, 1)[0]
+            p_tok = line.strip().split(None, 1)[0]
+        if o_tok.startswith('"'):
+            mm = re.match(r'^"(.*)"(?:\^\^<([^>]+)>)?$', o_tok, re.DOTALL)
+            o_val = (
+                mm.group(1).replace("\\n", "\n").replace('\\"', '"').replace("\\\\", "\\")
+            )
+            triples.add((subj, _expand(p_tok), o_val, True, mm.group(2)))
+        else:
+            triples.add((subj, _expand(p_tok), _expand(o_tok), False, None))
+    return triples
+
+
+@pytest.fixture(scope="module")
+def rendered(spark, tmp_path_factory):
+    res = build_graph(spark, golden_corpus_df(spark))
+    out = tmp_path_factory.mktemp("ttl")
+    paths = {}
+
+    def path_fn(repo, commit):
+        p = os.path.join(out, f"{repo.replace('/', '_')}.ttl")
+        paths[(repo, commit)] = p
+        return p
+
+    turtle.write_turtle(res["triples"], path_fn)
+    text = open(next(iter(paths.values())), encoding="utf-8").read()
+    want = {
+        (r["s"], r["p"], r["o"], bool(r["lit"]), r["dt"])
+        for r in res["triples"].collect()
+    }
+    return text, want
+
+
+def test_roundtrip_triples(rendered):
+    text, want = rendered
+    got = parse_turtle(text)
+    missing = want - got
+    extra = got - want
+    assert not missing and not extra, (
+        f"missing={len(missing)} extra={len(extra)}\n"
+        + "\n".join(map(str, list(missing)[:5]))
+        + "\n".join(map(str, list(extra)[:5]))
+    )
+
+
+def test_structure(rendered):
+    text, _ = rendered
+    assert text.startswith("@prefix bfo: <")
+    for header in ["====== CLASSES ======", "==== INDIVIDUALS ====",
+                   "## --- ObjectProperties ---", "### Other Triples"]:
+        assert header in text
+    # bucket headers appear in order
+    pos = [text.find(h) for _, h in turtle._BUCKETS if text.find(h) != -1]
+    assert pos == sorted(pos) and len(pos) >= 8
+    # phenotype bucket sorted by sortCharNum: C1 phenotypes before C10's
+    phe_section = text.split("## --- Phenotype instances --- ##")[1].split("## ---")[0]
+    descs = re.findall(r'dc:description "Phenotype statement for (C\d+)', phe_section)
+    nums = [int(d[1:]) for d in descs]
+    assert nums == sorted(nums)
+
+
+def test_kb_iri_policy(rendered):
+    text, _ = rendered
+    # generated kb IRIs compact, species concept URIs full (main.py:1301-1325)
+    assert re.search(r"kb:phe-[0-9a-f-]{36}", text)
+    assert "<http://www.phenobees.org/kb#Arhysoceble_picta>" in text
+    # forced-full prefixes stay full IRIs
+    assert "cdao:0000075" not in text
+    assert "<http://purl.obolibrary.org/obo/CDAO_0000075>" in text
