@@ -421,6 +421,67 @@ def k1_uuid5_mint(spark, sf_dir):
     return d.select("doc_id", kb_iri("doc", F.col("text")).alias("iri"))
 
 
+def text_quality_score(spark, sf_dir):
+    from rdf_generator_spark.textops.analysis import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64-based; no DuckDB twin)."""
+    from rdf_generator_spark.textops.dedupe import simhash, simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash(d), max_hamming=3)
+
+
+def dedup_embedding_neardup(spark, sf_dir):
+    from rdf_generator_spark.textops.dedupe import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9
+    ).select("d1", "d2")
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors for 3 query vectors."""
+    from rdf_generator_spark.textops.similarity import ivf_build, ivf_topk
+
+    vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = vecs.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents, assign = ivf_build(vecs, n_cells=8, iters=2)
+    return ivf_topk(vecs, assign, cents, queries, k=5, n_probe=3).select(
+        "q_id", "rank", "vec_id"
+    )
+
+
+def text_winnow_fingerprint(spark, sf_dir):
+    from rdf_generator_spark.textops.analysis import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"), window=4)
+
+
+def multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction plumbing on deterministic
+    synthetic media rows (codec layer stubbed — container has no
+    image/audio libs)."""
+    from rdf_generator_spark.textops.multimodal import MEDIA_SCHEMA, extract_features
+
+    ensure_workers_can_import(spark)
+    rows = [
+        (i, ["image", "audio", "video"][i % 3],
+         bytearray(f"payload-{i}".encode() * (i + 1)),
+         ("application/fake", 64, 64, 2000))
+        for i in range(24)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return extract_features(media, dim=8).select(
+        "media_id", "kind", "payload_sha256", "n_bytes"
+    )
+
+
 def kg_pipeline_synth(spark, sf_dir):
     """Full KG pipeline on a small deterministic synthetic corpus."""
     from rdf_generator_spark.plans.pipeline import build_graph
@@ -466,6 +527,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w1_tumbling_window": w1_tumbling_window,
     "k1_uuid5_mint": k1_uuid5_mint,
     "kg_pipeline_synth": kg_pipeline_synth,
+    "text_quality_score": text_quality_score,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_embedding_neardup": dedup_embedding_neardup,
+    "ann_ivf_topk": ann_ivf_topk,
+    "text_winnow_fingerprint": text_winnow_fingerprint,
+    "multimodal_features": multimodal_features,
 }
 
 ORACLES: Dict[str, str] = {
@@ -660,6 +727,37 @@ ORACLES: Dict[str, str] = {
         SELECT ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rank, vec_id
         FROM sims
         QUALIFY rank <= 8
+    """,
+    "text_quality_score": """
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS n_chars,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_chars, len(toks) AS n,
+                   GREATEST(len(toks), 1) AS n1,
+                   len(list_filter(toks, t -> list_contains(
+                       ['the','a','an','of','and','to','in','is','it','that',
+                        'for','on','with','as','was','at','by','this'],
+                       lower(t)))) AS n_stop,
+                   len(list_distinct(toks)) AS n_uniq,
+                   n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                     AS n_punct,
+                   n_chars - len(toks) + 1 AS sum_wordlen
+            FROM base
+        )
+        SELECT doc_id, n AS n_tokens, n_stop AS n_stopwords,
+               CAST(FLOOR(100*sum_wordlen/n1) AS BIGINT) AS mean_wordlen_x100,
+               CAST(FLOOR(1000*n_uniq/n1) AS BIGINT) AS uniq_ratio_x1000,
+               CAST((CASE WHEN n < 5 THEN 0 ELSE 25 END)
+                  + (CASE WHEN sum_wordlen >= 3*n1 AND sum_wordlen <= 12*n1
+                          THEN 25 ELSE 0 END)
+                  + (CASE WHEN n_punct*5 < n_chars THEN 25 ELSE 0 END)
+                  + (CASE WHEN 10*n_uniq >= 3*n1 THEN 25 ELSE 0 END) AS INT)
+                 AS quality_score
+        FROM c
     """,
     "events_sessionize": """
         WITH g AS (

@@ -1,0 +1,122 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All built-in expressions; one aggregation per
+operator at most."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS_EN = [
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "this",
+]
+_STOPWORDS_ES = ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por"]
+_STOPWORDS_FR = ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"]
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish subword counts per document, no explode —
+    array algebra on the split column."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    # BPE-ish: alpha runs, digit runs, and punctuation singles
+    pieces = F.expr(
+        f"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.size(pieces).alias("n_subword_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language guess (en/es/fr/other) — the n-gram
+    heuristic tier; a model-based ID would slot in as a Pandas UDF."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+    def hits(words: List[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    out = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n"),
+        hits(_STOPWORDS_EN).alias("en_hits"),
+        hits(_STOPWORDS_ES).alias("es_hits"),
+        hits(_STOPWORDS_FR).alias("fr_hits"),
+    )
+    best = F.greatest("en_hits", "es_hits", "fr_hits")
+    return out.select(
+        id_col, "n", "en_hits", "es_hits", "fr_hits",
+        F.when(best * 20 < F.col("n"), "other")
+        .when(F.col("en_hits") == best, "en")
+        .when(F.col("es_hits") == best, "es")
+        .otherwise("fr")
+        .alias("lang_guess"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: length, mean word length, punctuation
+    and stopword ratios, repetition; score in [0, 100]."""
+    # integer-exact arithmetic throughout: scaled ratios use integral
+    # division and threshold tests are cross-multiplied, so results are
+    # bit-identical across engines (no float rounding mode issues)
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1))
+    n_chars = F.length(F.col(text_col))
+    sum_wordlen = n_chars - n + 1
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_uniq = F.size(F.array_distinct(toks))
+    score = (
+        F.when(n < 5, 0).otherwise(25)
+        + F.when((sum_wordlen >= 3 * n1) & (sum_wordlen <= 12 * n1), 25).otherwise(0)
+        + F.when(n_punct * 5 < n_chars, 25).otherwise(0)
+        + F.when(10 * n_uniq >= 3 * n1, 25).otherwise(0)
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.floor(100 * sum_wordlen.cast("bigint") / n1).cast("bigint").alias("mean_wordlen_x100"),
+        F.floor(1000 * n_uniq.cast("bigint") / n1).cast("bigint").alias("uniq_ratio_x1000"),
+        score.cast("int").alias("quality_score"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    window: Optional[int] = None,
+) -> DataFrame:
+    """Document fingerprints: normalized-content hash plus a winnowing-
+    style rolling selection — the minimum shingle hash per fixed-size
+    window (robust to local edits)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col), F.md5(norm).alias("content_fp"), norm.alias("__n"))
+    if not window:
+        return base.drop("__n")
+    toks = F.split(F.col("__n"), " ")
+    k = 3
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    sh_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+    widx = F.sequence(
+        F.lit(0),
+        F.greatest((F.size(sh_hashes) - window), F.lit(0)),
+    )
+    winnowed = F.array_distinct(
+        F.transform(widx, lambda i: F.array_min(F.slice(sh_hashes, i + 1, window)))
+    )
+    return base.select(
+        id_col, "content_fp", F.size(winnowed).alias("n_winnowed"),
+        F.md5(F.array_join(F.transform(winnowed, lambda x: x.cast("string")), ",")).alias("winnow_fp"),
+    )

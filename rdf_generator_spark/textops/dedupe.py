@@ -1,0 +1,259 @@
+"""Document deduplication operators for large-scale corpus curation.
+
+All operators take a DataFrame with ``(id_col, text_col)`` and return
+DataFrames of duplicate groups or candidate pairs. Hash choices are
+md5/xxhash via built-ins — everything stays JVM-side; the only shuffles
+are the groupBys/joins on hash keys, which is the minimum the problem
+admits.
+
+Scale notes per operator are in each docstring; the LSH band join is the
+canonical near-dup path at 10^9+ documents (pairs never materialize
+outside a bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content with
+    keeper id (min) and multiplicity. Single hash-aggregate shuffle."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col(id_col)).alias("keeper"),
+            F.collect_list(F.col(id_col)).alias("members"),
+        )
+    )
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "").distinct()
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """k-token shingles via a self-zip of the token array (no UDF)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), r"\s+").alias("ts"),
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size("ts") - k, F.lit(0)))
+    return (
+        toks.filter(F.size("ts") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(idx, lambda i: F.array_join(F.slice("ts", i + 1, k), " "))
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """MinHash + LSH candidate pairs (d1 < d2).
+
+    shingle -> per-hash min(md5(i:shingle)) -> band signature -> bucket
+    self-join on (band, signature). At corpus scale the bucket join is
+    the only pairwise step and AQE's skew-join splits hot buckets."""
+    rows_per_band = num_hashes // bands
+    toks = (
+        _tokens(df, id_col, text_col)
+        if shingle_k == 1
+        else _shingles(df, id_col, text_col, shingle_k)
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i"),
+        "tok",
+    ).select(
+        "doc_id", "i",
+        F.md5(F.concat_ws(":", F.col("i"), F.col("tok"))).alias("h"),
+    )
+    sigs = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    bands_df = (
+        sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.array_sort(F.collect_list(F.concat_ws("@", "i", "mh"))), "|"
+                )
+            ).alias("bh")
+        )
+    )
+    a = bands_df.select(F.col("doc_id").alias("d1"), "band", "bh")
+    b = bands_df.select(F.col("doc_id").alias("d2"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold via token-join + count algebra.
+
+    Quadratic in co-occurring documents per shingle — use as the verify
+    stage after `minhash_lsh_pairs` candidates at scale, not standalone."""
+    toks = _shingles(df, id_col, text_col, shingle_k) if shingle_k > 1 else _tokens(
+        df, id_col, text_col
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        toks.select(F.col("doc_id").alias("d1"), "tok")
+        .join(toks.select(F.col("doc_id").alias("d2"), "tok"), "tok")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "d1").join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter_cnt")
+            / (F.col("sz1") + F.col("sz2") - F.col("inter_cnt")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "inter_cnt", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprints, pure SQL.
+
+    Per token: xxhash64 -> for each bit, +1/-1 into the component sum;
+    fingerprint bit b = sign of sum_b. Expressed as an aggregate over a
+    per-token bit array (no UDF); one shuffle on doc_id."""
+    toks = _tokens(df, id_col, text_col)
+    h = F.xxhash64(F.col("tok"))
+    bit_vec = F.array(
+        *[
+            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for b in range(bits)
+        ]
+    )
+    per_tok = toks.select("doc_id", bit_vec.alias("bv"))
+    summed = per_tok.groupBy("doc_id").agg(
+        F.array(*[F.sum(F.col("bv")[b]) for b in range(bits)]).alias("sums")
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col("sums")[b] > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return summed.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+    """Near-dup pairs among simhash fingerprints with Hamming distance
+    <= max_hamming, using the pigeonhole block trick: split the 64-bit
+    fingerprint into `blocks` bands; any pair within distance
+    max_hamming (< blocks) shares at least one exact band — join on
+    band value, verify with bit_count."""
+    width = 64 // blocks
+    banded = fps.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bv")
+    a = banded.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("f1"), "band", "bv")
+    b = banded.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("f2"), "band", "bv")
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidates via random-hyperplane LSH,
+    verified exactly.
+
+    Plane directions are pseudo-random but deterministic (hash-derived,
+    no RNG state). Bucket join -> exact cosine on candidates only."""
+    import math
+
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"]
+    # deterministic pseudo-gaussianish planes from hashes
+    import hashlib
+
+    def plane(p):
+        vals = []
+        for i in range(dim):
+            hsh = int(hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:8], 16)
+            vals.append((hsh / 0x7FFFFFFF) - 1.0)
+        return vals
+
+    planes = [plane(p) for p in range(n_planes)]
+    norm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double"))
+    )
+    sig = None
+    for p, pl in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in pl])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, v: a + v,
+        )
+        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p)
+        sig = bit if sig is None else sig + bit
+    sigs = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"), sig.alias("bucket"), norm.alias("nrm"))
+    a = sigs.select(F.col("doc_id").alias("d1"), F.col("v").alias("v1"), "bucket", F.col("nrm").alias("n1"))
+    b = sigs.select(F.col("doc_id").alias("d2"), F.col("v").alias("v2"), "bucket", F.col("nrm").alias("n2"))
+    cand = a.join(b, "bucket").filter(F.col("d1") < F.col("d2"))
+    cos = (
+        F.aggregate(
+            F.zip_with(F.col("v1"), F.col("v2"), lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        / (F.col("n1") * F.col("n2"))
+    )
+    return cand.select("d1", "d2", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    ).distinct()

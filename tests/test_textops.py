@@ -1,0 +1,132 @@
+"""Training-data pipeline operators: dedup, similarity, analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_generator_spark.textops import analysis, dedupe, multimodal, similarity
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeds(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y")], ["doc_id", "text"]
+    )
+    got = {r["keeper"]: (r["n"], sorted(r["members"])) for r in
+           dedupe.exact_dup_groups(df).collect()}
+    assert got == {1: (2, [1, 2]), 3: (1, [3])}
+
+
+def test_minhash_recovers_exact_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "one two three four")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["d1"], r["d2"]) for r in dedupe.minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g x"), (3, "p q r s")],
+        ["doc_id", "text"],
+    )
+    got = dedupe.jaccard_pairs(df, threshold=0.5, shingle_k=1).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["d1"], r["d2"]) == (1, 2) and abs(r["jaccard"] - 7 / 9) < 1e-9
+
+
+def test_simhash_near_pairs(spark, docs):
+    small = docs.limit(40)
+    dup = small.withColumn("doc_id", F.col("doc_id") + 100000)
+    fps = dedupe.simhash(small.unionByName(dup))
+    assert fps.count() == 80
+    pairs = dedupe.simhash_near_pairs(fps, max_hamming=0)
+    got = {(r["d1"], r["d2"]) for r in pairs.collect()}
+    # every doc pairs with its exact copy at hamming 0
+    for r in small.select("doc_id").collect():
+        assert (r["doc_id"], r["doc_id"] + 100000) in got
+
+
+def test_embedding_neardup(spark, embeds):
+    sub = embeds.limit(60)
+    dup = sub.withColumn("vec_id", F.col("vec_id") + 100000)
+    pairs = dedupe.embedding_neardup_pairs(sub.unionByName(dup), threshold=0.999)
+    got = {(r["d1"], r["d2"]) for r in pairs.collect()}
+    ids = [r["vec_id"] for r in sub.select("vec_id").collect()]
+    hits = sum((i, i + 100000) in got for i in ids)
+    assert hits == len(ids)  # identical vectors always bucket together
+
+
+def test_brute_force_vs_ivf_recall(spark, embeds):
+    vecs = embeds.select("vec_id", "embedding")
+    queries = vecs.limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = similarity.brute_force_topk(vecs, queries, k=5)
+    cents, assign = similarity.ivf_build(vecs, n_cells=8, iters=2)
+    approx = similarity.ivf_topk(vecs, assign, cents, queries, k=5, n_probe=4)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # probing half the cells on random data
+
+
+def test_token_stats_and_langid(spark, docs):
+    stats = analysis.token_stats(docs).limit(5).collect()
+    for r in stats:
+        assert r["n_ws_tokens"] > 0 and r["n_subword_tokens"] >= r["n_ws_tokens"] - 1
+    lang = analysis.lang_id(docs)
+    assert lang.filter(F.col("lang_guess") == "en").count() > 0
+
+
+def test_quality_and_fingerprint(spark, docs):
+    q = analysis.quality_score(docs).limit(5).collect()
+    for r in q:
+        assert 0 <= r["quality_score"] <= 100
+    fp = analysis.fingerprint(docs, window=4)
+    row = fp.first()
+    assert len(row["content_fp"]) == 32 and len(row["winnow_fp"]) == 32
+    # winnow fingerprint robust to trailing whitespace
+    fp2 = analysis.fingerprint(
+        docs.withColumn("text", F.concat(F.col("text"), F.lit("   "))), window=4
+    )
+    a = {r["doc_id"]: r["winnow_fp"] for r in fp.collect()}
+    b = {r["doc_id"]: r["winnow_fp"] for r in fp2.collect()}
+    assert a == b
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, "image", bytearray(b"\x89PNGfakebytes"), ("image/png", 64, 64, None)),
+        (2, "video", bytearray(b"fakevideobytes"), ("video/mp4", 320, 240, 3500)),
+        (3, "audio", None, ("audio/wav", None, None, 1200)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, dim=8).collect()
+    assert {r["media_id"] for r in feats} == {1, 2, 3}
+    by = {r["media_id"]: r for r in feats}
+    assert len(by[1]["feature"]) == 8
+    assert by[3]["n_bytes"] == 0
+    # determinism
+    feats2 = multimodal.extract_features(media, dim=8).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    frames = multimodal.sample_frames(media, every_ms=1000).collect()
+    assert {r["ts_ms"] for r in frames} == {0, 1000, 2000, 3000}
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, fake=False).collect()
