@@ -86,6 +86,7 @@ def build_graph(
     dataset_id: Optional[str] = None,
     vocab: Optional[DataFrame] = None,
     materialize: bool = True,
+    assemble: bool = True,
 ) -> Dict[str, DataFrame]:
     """Run the full pipeline; returns named DataFrames.
 
@@ -456,6 +457,14 @@ def build_graph(
 
     w_visit = Window.partitionBy(*DOC).orderBy("char_pos", "taxon_pos", "vord")
     visits = visits.withColumn("phe_n", F.row_number().over(w_visit))
+
+    if not assemble:
+        # diagnostic mode: hub tables with full (un-truncated) lineage,
+        # e.g. for .explain plan audits
+        return {
+            "chars": charsx, "states": states_x, "cells": cells_j,
+            "visits": visits, "species": species,
+        }
 
     if materialize:
         charsx = charsx.localCheckpoint(eager=True)

@@ -1,0 +1,86 @@
+"""Physical-plan audits: the optimizations we claim must be visible in
+.explain output — column pruning + filter pushdown at the parquet scan,
+broadcast joins for dimension sides, whole-stage codegen in the fan-out,
+and no row-at-a-time Python evaluation anywhere."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from rdf_generator_spark import queries as Q
+from rdf_generator_spark.plans.pipeline import build_graph
+
+from tests.fixtures import golden_corpus_df
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q3_scan_pruned_and_pushed(spark):
+    df = Q.q3_shipping_topk(spark, SF)
+    plan = formatted(df)
+    # segment filter reaches the customer scan
+    assert re.search(r"PushedFilters:.*c_mktsegment", plan), plan
+    # lineitem scan reads only the needed columns
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1)
+    assert "l_extendedprice" in cols and "l_shipdate" not in cols and "l_tax" not in cols
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = plan_of(Q.q3_shipping_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_is_real_antijoin(spark):
+    plan = plan_of(Q.a5_prune_anti_join(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_no_python_eval_in_relational_queries(spark):
+    for name in ["q1_pricing_summary", "a2_sequential_counters",
+                 "dedup_jaccard_pairs", "minhash_band_pairs", "text_quality_score"]:
+        plan = plan_of(Q.QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_kg_pipeline_python_only_at_parse(spark):
+    res = build_graph(spark, golden_corpus_df(spark), materialize=False, assemble=False)
+    visits = res["visits"]
+    plan = plan_of(visits)
+    # the only Python stages are the Arrow-batched document parsers
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") >= 1  # parsers
+    assert "sha1" in plan  # uuid5 minting is plain column algebra
+    # AQE hides codegen stages until execution; disable it to audit the
+    # static plan's codegen coverage
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        res2 = build_graph(
+            spark, golden_corpus_df(spark), materialize=False, assemble=False
+        )
+        static_plan = plan_of(res2["visits"])
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # codegen stages print as "*(n) Operator" in plan.toString
+    assert "*(" in static_plan
+    assert "InterpretedEval" not in static_plan
+
+
+def test_kg_join_broadcasts_character_dimension(spark):
+    res = build_graph(spark, golden_corpus_df(spark), materialize=False, assemble=False)
+    plan = plan_of(res["cells"])
+    assert "BroadcastHashJoin" in plan
