@@ -301,6 +301,52 @@ def assemble_document(blocks_rows: Iterable) -> str:
     return "".join(parts)
 
 
+def write_species_files(result: dict, out_dir: str) -> int:
+    """S2 (main.py:657-672): one Turtle file per species, named by the
+    normalized taxon label. The reference uses rdflib's default
+    serializer here (not the sectioned writer); species graphs are
+    ~8 triples, so blocks render driver-side after a distributed join
+    of the species part against the per-taxon node table."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    taxa = result["taxa"].select(
+        F.col("repo").alias("__tr"), F.col("commit").alias("__tc"),
+        F.col("taxon_label").alias("__tl"), "sp_uri", "sp_inst",
+    )
+    nodes = taxa.select(
+        "__tr", "__tc", "__tl", F.col("sp_uri").alias("__node")
+    ).unionByName(
+        taxa.select("__tr", "__tc", "__tl", F.col("sp_inst").alias("__node"))
+    ).distinct()
+    joined = result["species_part"].join(
+        nodes,
+        (F.col("repo") == F.col("__tr"))
+        & (F.col("commit") == F.col("__tc"))
+        & (F.col("s") == F.col("__node")),
+    ).select(F.col("__tl").alias("taxon_label"), "s", "p", "o", "lit", "dt")
+    by_taxon: dict = {}
+    for r in joined.collect():
+        by_taxon.setdefault(r["taxon_label"], []).append(r)
+    for taxon_label, rows in by_taxon.items():
+        safe = taxon_label.replace("/", "_")
+        by_subj: dict = {}
+        for r in rows:
+            by_subj.setdefault(r["s"], []).append(r)
+        with open(os.path.join(out_dir, f"{safe}.ttl"), "w", encoding="utf-8") as f:
+            f.write(_PREFIX_BLOCK + "\n\n")
+            for s in sorted(by_subj):
+                pos = sorted(
+                    {(render_iri(r["p"]), render_node(r["o"], bool(r["lit"]), r["dt"]))
+                     for r in by_subj[s]}
+                )
+                f.write(render_iri(s))
+                for i, (pt, ot) in enumerate(pos):
+                    sep = " .\n\n" if i == len(pos) - 1 else " ;\n    "
+                    f.write(f" {pt} {ot}{sep}" if i == 0 else f"{pt} {ot}{sep}")
+    return len(by_taxon)
+
+
 def write_turtle(triples: DataFrame, out_path_fn, salt_groups: int = 64) -> int:
     """Write one .ttl per document. ``out_path_fn(repo, commit) -> path``.
     Returns number of documents written. Ordered streaming per document

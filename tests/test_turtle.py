@@ -115,3 +115,18 @@ def test_kb_iri_policy(rendered):
     # forced-full prefixes stay full IRIs
     assert "cdao:0000075" not in text
     assert "<http://purl.obolibrary.org/obo/CDAO_0000075>" in text
+
+def test_species_files(spark, tmp_path):
+    res = build_graph(spark, golden_corpus_df(spark))
+    from rdf_generator_spark.sinks.turtle import write_species_files
+
+    n = write_species_files(res, str(tmp_path / "species"))
+    assert n == 10
+    files = sorted(os.listdir(tmp_path / "species"))
+    assert "Arhysoceble_picta.ttl" in files
+    text = open(tmp_path / "species" / "Arhysoceble_picta.ttl").read()
+    got = parse_turtle(text)
+    # species file holds exactly that taxon's concept + instance triples
+    assert any("sp-" in t[0] for t in got)
+    assert any(t[2] == "Arhysoceble_picta" and t[3] for t in got)
+    assert all("Ancyloscelis" not in t[0] and "Ancyloscelis" not in str(t[2]) for t in got)
