@@ -45,7 +45,7 @@ def build_session(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(8, 2 * cpus)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -64,28 +64,27 @@ def run_bench(spark, sf_dir: str, kg_scale: int) -> dict:
     from rdf_generator_spark.sources.synth import synth_corpus_rows
 
     timings = {}
-    for name in HEADLINE:
-        fn = Q.QUERIES[name]
-        t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
 
-    # KG pipeline throughput on the synthetic corpus (extract -> link ->
-    # canonicalize -> final graph), the engine's primary workload.
+    # KG pipeline throughput first (fresh JVM, no GC debris from other
+    # queries) — extract -> link -> canonicalize -> final graph, the
+    # engine's primary workload.
     Q.ensure_workers_can_import(spark)
     rows = synth_corpus_rows(
         n_datasets=6 * kg_scale, ntax=40, nchar=40, seed=1234,
         giant_every=6, giant_scale=3,
     )
     corpus = corpus_df(spark, rows)
-    n_cells = sum(
-        c.count("\n") - 9 for _, p, _, l, c in rows if l == "nexus"
-    )
     t0 = time.perf_counter()
     res = build_graph(spark, corpus)
     n_triples = materialize(res["triples"])
     kg_sec = round(time.perf_counter() - t0, 3)
     timings["kg_pipeline"] = kg_sec
+
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     return {
@@ -106,7 +105,7 @@ def run_bench(spark, sf_dir: str, kg_scale: int) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    kg_scale = int(os.environ.get("SPARK_GRAFT_KG_SCALE", "1"))
+    kg_scale = int(os.environ.get("SPARK_GRAFT_KG_SCALE", "4"))
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
