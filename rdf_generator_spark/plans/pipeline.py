@@ -275,6 +275,13 @@ def build_graph(
                      F.col("__n_states") + F.col("__rn")),
         )
         .withColumn(
+            # phase-b label (build_character_graphs round): visible only
+            # in per-character graphs; label priority replaces it with
+            # the matrix-round label in every written output
+            "sta_label_phase_b",
+            F.concat(F.col("sta_prefix"), F.lit(":id-"), F.col("__rn")),
+        )
+        .withColumn(
             "qua_label",
             F.concat(F.col("qua_prefix"), F.lit(":id-"), F.col("__rn")),
         )
@@ -491,6 +498,8 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
     base_part = docs.join(F.broadcast(base_df))
 
     # -- char part: char node + provenance + state typing -----------------
+    # (tagged with char_id so validation can rebuild per-character scopes)
+    CDOC = ("repo", "commit", "char_id")
     char_nodes = emit(
         charsx,
         t("char_iri", T.RDF_TYPE, T.CDAO_CHARACTER),
@@ -499,6 +508,7 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         when_t(F.col("src_iri").isNotNull(), t("src_iri", T.RDF_TYPE, T.PROV_ENTITY)),
         when_t(F.col("src_iri").isNotNull(), tl("src_iri", T.RDFS_LABEL, F.col("source_text"))),
         when_t(F.col("src_iri").isNotNull(), t("char_iri", T.PROV_HAD_PRIMARY_SOURCE, F.col("src_iri"))),
+        doc_cols=CDOC,
     )
     # F9 second sp- mint site (SpeciesLabel+SpeciesID rows)
     sp2 = charsx.filter(
@@ -512,13 +522,18 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         tl("sp2_iri", T.RDFS_LABEL, F.col("sp2_label")),
         t("sp2_iri", T.DWC_PARENT_NAME_USAGE_ID,
           F.concat(F.lit("https://www.gbif.org/species/"), F.col("species_id"))),
+        doc_cols=CDOC,
     )
     char_states = emit(
         states_x,
         t("sta_iri", T.RDF_TYPE, T.CDAO_STATE),
+        t("sta_iri", T.RDF_TYPE, T.OWL_NAMED_INDIVIDUAL),
+        tl("sta_iri", T.RDFS_LABEL, F.col("sta_label_phase_b")),
         t("char_iri", T.PHB_MAY_HAVE_STATE, "sta_iri"),
+        doc_cols=CDOC,
     )
-    char_part = union_emissions(char_nodes, sp2_triples, char_states)
+    char_part_tagged = union_emissions(char_nodes, sp2_triples, char_states)
+    char_part = char_part_tagged.drop("char_id")
 
     # -- matrix part ------------------------------------------------------
     mx = charsx.select(*DOC, "mx_iri").distinct()
@@ -677,7 +692,8 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
     )
 
     matrix_part = union_emissions(
-        mx_triples, mx_char_links, char_nodes, sp2_triples, sta_qua_triples,
+        mx_triples, mx_char_links, char_nodes.drop("char_id"),
+        sp2_triples.drop("char_id"), sta_qua_triples,
         cell_triples, visit_triples, loc_triples, org_labels, loc_labels, var_labels,
     )
 
@@ -859,6 +875,7 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         "species": species,
         "taxa": taxa_sp,
         "parts": parts,
+        "char_part_tagged": char_part_tagged,
         "matrix_part": matrix_part,
         "char_part": char_part,
         "species_part": species_part,

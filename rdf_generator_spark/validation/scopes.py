@@ -1,0 +1,109 @@
+"""Per-scope validation parity with the reference's 23 validations
+(SURVEY.md V3: 10 per-character graphs + CDAO Matrix + 10 TU graphs +
+Species Combined + Final Combined Graph, main.py:1683/2088/2022/2115/2159).
+
+Scopes are rebuilt relationally from the pipeline's tagged parts and
+validated in ONE evaluator pass: the scope name joins the document key,
+so rule evaluation is still a fixed number of joins regardless of how
+many scopes a document has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdf_generator_spark.validation.shacl_rules import conformance_report, validate
+
+DOC = ["repo", "commit"]
+TRIPLE = ["s", "p", "o", "lit", "dt"]
+SKEYS = ["repo", "commit", "scope"]
+
+
+def scoped_triples(result: dict, include_per_tu: bool = True) -> DataFrame:
+    """Union of all validation scopes, each row tagged with `scope`.
+
+    Reference semantics per scope:
+      * ``Char_ID {id}``: base graph + that character's triples (the
+        per-character graph of build_character_graphs).
+      * ``CDAO Matrix``: the matrix graph pre-TU-enrichment (validated
+        before pruning in the reference; prune only affects qua-/org-
+        label triples invisible to the rules, but we use the unpruned
+        part to match exactly).
+      * ``TU {taxon}``: base + ALL per-character graphs (the reference
+        merges every cell column's character graph; identical content
+        for every taxon of a document, reported once per taxon).
+      * ``Species Combined`` and ``Final Combined Graph``.
+    """
+    base = result["base_part"]
+    charp = result["char_part_tagged"]
+
+    char_ids = charp.select(*DOC, "char_id").distinct()
+    base_per_char = base.join(char_ids, DOC).withColumn(
+        "scope", F.concat(F.lit("Char_ID "), F.col("char_id"))
+    )
+    char_scoped = charp.withColumn(
+        "scope", F.concat(F.lit("Char_ID "), F.col("char_id"))
+    )
+    per_char = base_per_char.select(*SKEYS, *TRIPLE).unionByName(
+        char_scoped.select(*SKEYS, *TRIPLE)
+    )
+
+    matrix = result["matrix_part"].withColumn("scope", F.lit("CDAO Matrix")).select(
+        *SKEYS, *TRIPLE
+    )
+
+    scopes = per_char.unionByName(matrix)
+
+    if include_per_tu:
+        taxa = result["taxa"].select(*DOC, "taxon_label").distinct()
+        tu_content = base.select(*DOC, *TRIPLE).unionByName(
+            charp.select(*DOC, *TRIPLE)
+        )
+        per_tu = tu_content.join(taxa, DOC).withColumn(
+            "scope", F.concat(F.lit("TU "), F.col("taxon_label"))
+        )
+        scopes = scopes.unionByName(per_tu.select(*SKEYS, *TRIPLE))
+
+    species = result["species_part"].withColumn(
+        "scope", F.lit("Species Combined")
+    ).select(*SKEYS, *TRIPLE)
+    final = result["triples"].withColumn(
+        "scope", F.lit("Final Combined Graph")
+    ).select(*SKEYS, *TRIPLE)
+    return scopes.unionByName(species).unionByName(final)
+
+
+def validation_report(result: dict, include_per_tu: bool = True):
+    """(violations, conformance) over all scopes — the DataFrame
+    equivalent of validation_summary.txt + validation_report.ttl."""
+    scoped = scoped_triples(result, include_per_tu=include_per_tu)
+    violations = validate(scoped, keys=SKEYS)
+    all_scopes = scoped.select(*SKEYS).distinct()
+    counts = violations.groupBy(*SKEYS).agg(F.count(F.lit(1)).alias("n_violations"))
+    conformance = (
+        all_scopes.join(counts, SKEYS, "left")
+        .fillna(0, subset=["n_violations"])
+        .withColumn("conforms", F.col("n_violations") == 0)
+    )
+    return violations, conformance
+
+
+def render_summary(conformance_rows, violation_rows) -> str:
+    """Text render in the spirit of validation_summary.txt: one block
+    per scope with conformance + violation lines."""
+    by_scope: dict = {}
+    for r in violation_rows:
+        by_scope.setdefault((r["repo"], r["commit"], r["scope"]), []).append(r)
+    out = []
+    for r in sorted(conformance_rows, key=lambda x: (x["repo"], x["commit"], x["scope"])):
+        key = (r["repo"], r["commit"], r["scope"])
+        out.append(f"==== {r['scope']} ====")
+        out.append(f"Conforms: {bool(r['conforms'])}")
+        for v in sorted(by_scope.get(key, []), key=lambda v: (v["shape"], v["focus"])):
+            out.append(
+                f"  Violation [{v['shape']}] focus={v['focus']} path={v['path']} "
+                f"{v['constraint']} expected={v['expected']} actual={v['actual']}"
+            )
+        out.append("")
+    return "\n".join(out)

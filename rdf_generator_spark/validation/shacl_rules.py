@@ -88,7 +88,7 @@ RULES: List[ShapeRule] = [
 ]
 
 
-def rdfs_subclass_closure(triples: DataFrame, max_iters: int = 12) -> DataFrame:
+def rdfs_subclass_closure(triples: DataFrame, max_iters: int = 12, keys=None) -> DataFrame:
     """V2: transitive closure of rdfs:subClassOf, per document.
 
     Iterative self-join to fixpoint with lineage truncation per round
@@ -96,6 +96,7 @@ def rdfs_subclass_closure(triples: DataFrame, max_iters: int = 12) -> DataFrame:
     (doc, sub, sup) including the reflexive pairs actually needed by
     type expansion (handled by the caller via union).
     """
+    DOC = list(keys) if keys else ["repo", "commit"]
     edges = (
         triples.filter((F.col("p") == T.RDFS_SUBCLASSOF) & (~F.col("lit")))
         .select(*DOC, F.col("s").alias("sub"), F.col("o").alias("sup"))
@@ -103,18 +104,15 @@ def rdfs_subclass_closure(triples: DataFrame, max_iters: int = 12) -> DataFrame:
     )
     closure = edges
     for _ in range(max_iters):
-        nxt = (
-            closure.alias("a")
-            .join(
-                edges.select(
-                    F.col("repo").alias("__r"), F.col("commit").alias("__c"),
-                    F.col("sub").alias("__mid"), F.col("sup").alias("__sup"),
-                ),
-                (F.col("repo") == F.col("__r"))
-                & (F.col("commit") == F.col("__c"))
-                & (F.col("sup") == F.col("__mid")),
-            )
-            .select(*DOC, "sub", F.col("__sup").alias("sup"))
+        renamed = edges.select(
+            *[F.col(k).alias(f"__k_{k}") for k in DOC],
+            F.col("sub").alias("__mid"), F.col("sup").alias("__sup"),
+        )
+        cond = F.col("sup") == F.col("__mid")
+        for k in DOC:
+            cond = cond & (F.col(k) == F.col(f"__k_{k}"))
+        nxt = closure.join(renamed, cond).select(
+            *DOC, "sub", F.col("__sup").alias("sup")
         )
         new_closure = closure.unionByName(nxt).distinct().localCheckpoint(eager=True)
         if new_closure.count() == closure.count():
@@ -124,27 +122,28 @@ def rdfs_subclass_closure(triples: DataFrame, max_iters: int = 12) -> DataFrame:
     return closure
 
 
-def expanded_types(triples: DataFrame) -> DataFrame:
+def expanded_types(triples: DataFrame, keys=None) -> DataFrame:
     """(doc, node, type) with rdfs-subclass expansion — what pySHACL's
     inference='rdfs' contributes to targetClass matching."""
+    DOC = list(keys) if keys else ["repo", "commit"]
     types = (
         triples.filter((F.col("p") == T.RDF_TYPE) & (~F.col("lit")))
         .select(*DOC, F.col("s").alias("node"), F.col("o").alias("type"))
         .distinct()
     )
-    closure = rdfs_subclass_closure(triples)
+    closure = rdfs_subclass_closure(triples, keys=DOC)
     if closure.isEmpty():
         return types
     cl = closure.select(
-        F.col("repo").alias("__r"), F.col("commit").alias("__c"),
+        *[F.col(k).alias(f"__k_{k}") for k in DOC],
         F.col("sub").alias("__sub"), F.col("sup").alias("__sup"),
     )
-    inherited = types.join(
-        cl,
-        (types["repo"] == cl["__r"])
-        & (types["commit"] == cl["__c"])
-        & (types["type"] == cl["__sub"]),
-    ).select(*DOC, "node", F.col("__sup").alias("type"))
+    cond = types["type"] == cl["__sub"]
+    for k in DOC:
+        cond = cond & (types[k] == cl[f"__k_{k}"])
+    inherited = types.join(cl, cond).select(
+        *DOC, "node", F.col("__sup").alias("type")
+    )
     return types.unionByName(inherited).distinct()
 
 
@@ -164,17 +163,18 @@ def _rules_df(spark):
     )
 
 
-def validate(triples: DataFrame, scope: str = "final") -> DataFrame:
+def validate(triples: DataFrame, scope: str = "final", keys=None) -> DataFrame:
     """Evaluate all rules in a fixed number of joins (rule count does not
     add scans): broadcast the rule table against the type scan / predicate
     scan, aggregate per (rule, focus), anti-compare against [min, max].
 
     Returns (doc, scope, focus, shape, path, constraint, actual, expected).
     """
+    DOC = list(keys) if keys else ["repo", "commit"]
     spark = triples.sparkSession
     triples = triples.localCheckpoint(eager=True)
     rules = _rules_df(spark)
-    types = expanded_types(triples)
+    types = expanded_types(triples, keys=DOC)
 
     class_rules = F.broadcast(rules.filter(F.col("kind").isin("class", "sparql_class")))
     obj_rules = F.broadcast(rules.filter(F.col("kind") == "objects_of"))
@@ -198,19 +198,16 @@ def validate(triples: DataFrame, scope: str = "final") -> DataFrame:
         *DOC, "rule_id", "focus", F.col("v1").alias("value"), F.col("l1").alias("vlit")
     )
     hop2_src = triples.select(
-        F.col("repo").alias("__r"), F.col("commit").alias("__c"),
+        *[F.col(k).alias(f"__k_{k}") for k in DOC],
         F.col("p").alias("__p"), F.col("s").alias("__mid"),
         F.col("o").alias("value"), F.col("lit").alias("vlit"),
     )
+    cond2 = (F.col("v1") == F.col("__mid")) & (F.col("p2") == F.col("__p"))
+    for k in DOC:
+        cond2 = cond2 & (F.col(k) == F.col(f"__k_{k}"))
     vals2 = (
         hop1.filter(F.col("p2").isNotNull() & (~F.col("l1")))
-        .join(
-            hop2_src,
-            (F.col("repo") == F.col("__r"))
-            & (F.col("commit") == F.col("__c"))
-            & (F.col("v1") == F.col("__mid"))
-            & (F.col("p2") == F.col("__p")),
-        )
+        .join(hop2_src, cond2)
         .select(*DOC, "rule_id", "focus", "value", "vlit")
     )
     counts = (
@@ -237,19 +234,23 @@ def validate(triples: DataFrame, scope: str = "final") -> DataFrame:
         *DOC, "focus", "shape", "p1", "p2", "actual",
         F.lit("maxCount").alias("constraint"), F.col("max_count").alias("expected"),
     )
+    scope_col = F.col("scope") if "scope" in DOC else F.lit(scope)
     return (
         viol_min.unionByName(viol_max)
-        .withColumn("scope", F.lit(scope))
+        .withColumn("__scope_out", scope_col)
+        .drop(*( ["scope"] if "scope" in DOC else [] ))
+        .withColumnRenamed("__scope_out", "scope")
         .withColumn("path", F.concat_ws("/", F.col("p1"), F.col("p2")))
-        .select(*DOC, "scope", "focus", "shape", "path", "constraint",
-                "actual", "expected")
+        .select(*[k for k in DOC if k != "scope"], "scope", "focus", "shape",
+                "path", "constraint", "actual", "expected")
     )
 
 
 def conformance_report(violations: DataFrame) -> DataFrame:
     """Per-document summary: scope, n_violations, conforms."""
+    keys = [k for k in ["repo", "commit"] if k in violations.columns]
     return (
-        violations.groupBy(*DOC, "scope")
+        violations.groupBy(*keys, "scope")
         .agg(F.count(F.lit(1)).alias("n_violations"))
         .withColumn("conforms", F.col("n_violations") == 0)
     )

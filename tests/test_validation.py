@@ -99,3 +99,29 @@ def test_rdfs_closure_expansion(spark):
     assert ("ex:i", "ex:Leaf") in types
     assert ("ex:i", "ex:Mid") in types
     assert ("ex:i", "ex:Root") in types
+
+
+def test_scoped_validation_report(spark, result):
+    from rdf_generator_spark.validation.scopes import (
+        render_summary,
+        validation_report,
+    )
+
+    violations, conformance = validation_report(result)
+    rows = conformance.collect()
+    scopes = {r["scope"] for r in rows}
+    # 10 chars + matrix + 10 TUs + species + final = 23 (reference count)
+    assert len(rows) == 23
+    assert {"CDAO Matrix", "Species Combined", "Final Combined Graph"} <= scopes
+    assert sum(1 for s in scopes if s.startswith("Char_ID ")) == 10
+    assert sum(1 for s in scopes if s.startswith("TU ")) == 10
+    by = {r["scope"]: r for r in rows}
+    # final and species conform; matrix fails TUShape; char/TU scopes
+    # conform (phenotype shapes have no targets there)
+    assert by["Final Combined Graph"]["conforms"]
+    assert by["Species Combined"]["conforms"]
+    assert not by["CDAO Matrix"]["conforms"]
+    assert by["Char_ID C1"]["conforms"]
+    assert by["TU Arhysoceble_picta"]["conforms"]
+    text = render_summary(rows, violations.collect())
+    assert "==== CDAO Matrix ====" in text and "TUShape" in text
