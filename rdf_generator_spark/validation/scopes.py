@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rdf_generator_spark.validation.shacl_rules import conformance_report, validate
+from rdf_generator_spark.validation.shacl_rules import conformance_report, validate  # noqa: F401
 
 DOC = ["repo", "commit"]
 TRIPLE = ["s", "p", "o", "lit", "dt"]
@@ -30,9 +30,10 @@ def scoped_triples(result: dict, include_per_tu: bool = True) -> DataFrame:
         before pruning in the reference; prune only affects qua-/org-
         label triples invisible to the rules, but we use the unpruned
         part to match exactly).
-      * ``TU {taxon}``: base + ALL per-character graphs (the reference
-        merges every cell column's character graph; identical content
-        for every taxon of a document, reported once per taxon).
+      * ``TU __template__``: base + ALL per-character graphs (the
+        reference merges every cell column's character graph, so TU
+        content is identical for every taxon of a document) — validated
+        ONCE per document and fanned out to per-taxon report rows.
       * ``Species Combined`` and ``Final Combined Graph``.
     """
     base = result["base_part"]
@@ -56,14 +57,10 @@ def scoped_triples(result: dict, include_per_tu: bool = True) -> DataFrame:
     scopes = per_char.unionByName(matrix)
 
     if include_per_tu:
-        taxa = result["taxa"].select(*DOC, "taxon_label").distinct()
-        tu_content = base.select(*DOC, *TRIPLE).unionByName(
+        tu_template = base.select(*DOC, *TRIPLE).unionByName(
             charp.select(*DOC, *TRIPLE)
-        )
-        per_tu = tu_content.join(taxa, DOC).withColumn(
-            "scope", F.concat(F.lit("TU "), F.col("taxon_label"))
-        )
-        scopes = scopes.unionByName(per_tu.select(*SKEYS, *TRIPLE))
+        ).withColumn("scope", F.lit("TU __template__"))
+        scopes = scopes.unionByName(tu_template.select(*SKEYS, *TRIPLE))
 
     species = result["species_part"].withColumn(
         "scope", F.lit("Species Combined")
@@ -74,18 +71,42 @@ def scoped_triples(result: dict, include_per_tu: bool = True) -> DataFrame:
     return scopes.unionByName(species).unionByName(final)
 
 
+def _expand_tu(df: DataFrame, taxa: DataFrame) -> DataFrame:
+    """Replace 'TU __template__' rows with one row per taxon."""
+    non_tu = df.filter(F.col("scope") != "TU __template__")
+    tu = df.filter(F.col("scope") == "TU __template__").drop("scope").join(
+        taxa, DOC
+    ).withColumn("scope", F.concat(F.lit("TU "), F.col("taxon_label"))).drop(
+        "taxon_label"
+    )
+    return non_tu.unionByName(tu.select(non_tu.columns))
+
+
 def validation_report(result: dict, include_per_tu: bool = True):
     """(violations, conformance) over all scopes — the DataFrame
     equivalent of validation_summary.txt + validation_report.ttl."""
     scoped = scoped_triples(result, include_per_tu=include_per_tu)
     violations = validate(scoped, keys=SKEYS)
-    all_scopes = scoped.select(*SKEYS).distinct()
-    counts = violations.groupBy(*SKEYS).agg(F.count(F.lit(1)).alias("n_violations"))
-    conformance = (
-        all_scopes.join(counts, SKEYS, "left")
-        .fillna(0, subset=["n_violations"])
-        .withColumn("conforms", F.col("n_violations") == 0)
+
+    # scope universe from the small dimension frames (not by re-running
+    # the scoped union)
+    char_ids = result["char_part_tagged"].select(*DOC, "char_id").distinct()
+    docs = char_ids.select(*DOC).distinct()
+    universe = char_ids.select(
+        *DOC, F.concat(F.lit("Char_ID "), F.col("char_id")).alias("scope")
     )
+    for name in ["CDAO Matrix", "Species Combined", "Final Combined Graph"] + (
+        ["TU __template__"] if include_per_tu else []
+    ):
+        universe = universe.unionByName(
+            docs.withColumn("scope", F.lit(name))
+        )
+    conformance = conformance_report(violations, universe=universe)
+
+    if include_per_tu:
+        taxa = result["taxa"].select(*DOC, "taxon_label").distinct()
+        violations = _expand_tu(violations, taxa)
+        conformance = _expand_tu(conformance, taxa)
     return violations, conformance
 
 

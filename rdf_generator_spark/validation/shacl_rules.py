@@ -25,8 +25,6 @@ from pyspark.sql import functions as F
 
 from rdf_generator_spark import terms as T
 
-DOC = ["repo", "commit"]
-
 
 @dataclass(frozen=True)
 class ShapeRule:
@@ -246,11 +244,18 @@ def validate(triples: DataFrame, scope: str = "final", keys=None) -> DataFrame:
     )
 
 
-def conformance_report(violations: DataFrame) -> DataFrame:
-    """Per-document summary: scope, n_violations, conforms."""
+def conformance_report(violations: DataFrame, universe: DataFrame = None) -> DataFrame:
+    """Per-document summary: scope, n_violations, conforms.
+
+    `universe` is the full (doc..., scope) key set; without it only
+    violating scopes appear (conforming scopes have no violation rows to
+    aggregate), so pass it whenever conforms=True rows matter."""
     keys = [k for k in ["repo", "commit"] if k in violations.columns]
-    return (
-        violations.groupBy(*keys, "scope")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-        .withColumn("conforms", F.col("n_violations") == 0)
+    counts = violations.groupBy(*keys, "scope").agg(
+        F.count(F.lit(1)).alias("n_violations")
     )
+    if universe is not None:
+        counts = universe.join(counts, keys + ["scope"], "left").fillna(
+            0, subset=["n_violations"]
+        )
+    return counts.withColumn("conforms", F.col("n_violations") == 0)
