@@ -347,6 +347,55 @@ def write_species_files(result: dict, out_dir: str) -> int:
     return len(by_taxon)
 
 
+def write_turtle_shards(
+    triples: DataFrame, out_dir: str, n_shards: int = 8, salt_groups: int = 64
+) -> dict:
+    """Cluster-scale Turtle output: ordered range shards.
+
+    Blocks are range-partitioned on the full ordering key and each
+    partition writes one `part-NNNNN.ttl` shard (executor-local here; a
+    shared filesystem / object store on a cluster). `header.ttl` +
+    shards concatenated in shard order reproduce the single-file output
+    for each document. Returns {'n_shards', 'manifest'}."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "header.ttl"), "w", encoding="utf-8") as f:
+        f.write(_PREFIX_BLOCK + "\n\n" + _ONTOLOGY_HEADER)
+
+    blocks = (
+        turtle_blocks(triples, salt_groups)
+        .repartitionByRange(n_shards, *DOC, "section", "bucket", "sort1", "sort2", "s")
+        .sortWithinPartitions(*DOC, "section", "bucket", "sort1", "sort2", "s")
+    )
+
+    def write_partition(rows):
+        import os as _os
+
+        first = None
+        fh = None
+        n = 0
+        for row in rows:
+            if fh is None:
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+                fh = open(
+                    _os.path.join(out_dir, f"part-{pid:05d}.ttl"), "w",
+                    encoding="utf-8",
+                )
+                first = (row["repo"], row["commit"], row["section"], row["bucket"])
+            fh.write(row["text"])
+            fh.write("\n")
+            n += 1
+        if fh:
+            fh.close()
+            yield {"first_key": str(first), "n_blocks": n}
+
+    manifest = blocks.rdd.mapPartitions(write_partition).collect()
+    return {"n_shards": len(manifest), "manifest": manifest}
+
+
 def write_turtle(triples: DataFrame, out_path_fn, salt_groups: int = 64) -> int:
     """Write one .ttl per document. ``out_path_fn(repo, commit) -> path``.
     Returns number of documents written. Ordered streaming per document

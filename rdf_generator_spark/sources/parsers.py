@@ -161,10 +161,17 @@ def char_rows_from_json(content: str) -> List[dict]:
                         "token": _none_or_str(_first_value(st, "token")),
                     }
                 )
+        # Missing Char_ID: the reference mints a fresh uuid4 per
+        # processing call (main.py:1150) — nondeterministic and
+        # inconsistent across its own phases; we substitute one stable
+        # per-position id (documented deviation, SURVEY.md §7 K5 family)
+        char_id = _none_or_str(row.get("Char_ID"))
+        if char_id is None:
+            char_id = f"__nochar__{pos}"
         out.append(
             {
                 "char_pos": pos,
-                "char_id": _none_or_str(row.get("Char_ID")),
+                "char_id": char_id,
                 "char_label": _none_or_str(row.get("CharacterLabel")),
                 "org_label": _none_or_str(org.get("Label")),
                 "org_uri": _none_or_str(org.get("URI")),

@@ -19,7 +19,7 @@ from rdf_generator_spark.sources.synth import synth_corpus_rows
 from tests.oracle.refsim import RefSim
 
 
-@pytest.mark.parametrize("seed", [7])
+@pytest.mark.parametrize("seed", [7, 23])
 def test_synth_corpus_matches_oracle_per_doc(spark, seed):
     rows = synth_corpus_rows(n_datasets=3, ntax=8, nchar=8, seed=seed)
     corpus = corpus_df(spark, rows)

@@ -130,3 +130,22 @@ def test_species_files(spark, tmp_path):
     assert any("sp-" in t[0] for t in got)
     assert any(t[2] == "Arhysoceble_picta" and t[3] for t in got)
     assert all("Ancyloscelis" not in t[0] and "Ancyloscelis" not in str(t[2]) for t in got)
+
+
+def test_shard_writer_matches_single_file(spark, tmp_path):
+    res = build_graph(spark, golden_corpus_df(spark))
+    from rdf_generator_spark.sinks.turtle import write_turtle_shards
+
+    out = tmp_path / "shards"
+    info = write_turtle_shards(res["triples"], str(out), n_shards=4)
+    assert info["n_shards"] >= 1
+    parts = sorted(p for p in os.listdir(out) if p.startswith("part-"))
+    text = open(out / "header.ttl").read() + "".join(
+        open(out / p).read() for p in parts
+    )
+    got = parse_turtle(text)
+    want = {
+        (r["s"], r["p"], r["o"], bool(r["lit"]), r["dt"])
+        for r in res["triples"].collect()
+    }
+    assert got == want
