@@ -66,6 +66,25 @@ def _truthy_uri(c) -> F.Column:
     return F.when(c.isNull() | (c == ""), F.lit(None).cast("string")).otherwise(c)
 
 
+def dataset_id_from_config(corpus: DataFrame) -> Optional[str]:
+    """SRC1: a lang='yaml' config row may carry `dataset_id` — the
+    highest-priority salt source (main.py:31-36, 232-235). Config rows
+    are tiny dimension docs, collected driver-side."""
+    try:
+        import yaml
+    except ImportError:
+        return None
+    rows = corpus.filter(F.col("lang") == "yaml").select("content").collect()
+    for r in rows:
+        try:
+            cfg = yaml.safe_load(r["content"]) or {}
+        except yaml.YAMLError:
+            continue
+        if isinstance(cfg, dict) and cfg.get("dataset_id"):
+            return str(cfg["dataset_id"])
+    return None
+
+
 def build_salts(meta: DataFrame, dataset_id: Optional[str]) -> DataFrame:
     """build_dataset_seed_salt (main.py:227-249), per document."""
     norm = norm_seed_component(F.col("source_text"))
@@ -102,6 +121,8 @@ def build_graph(
     meta = parsers.parse_metadata_docs(corpus)
     if vocab is None:
         vocab = vocab_df_from_corpus(spark, corpus)
+    if dataset_id is None:
+        dataset_id = dataset_id_from_config(corpus)
 
     # --- J1 vocab fill + per-char derived columns ------------------------
     chars_f = linking.fill_character_uris(chars_raw, vocab)

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""spark-submit job entry for the KG-construction pipeline.
+
+    spark-submit --py-files rdf_generator_spark.zip scripts/run_pipeline.py \
+        --corpus /data/corpus_parquet --out /data/kg --dataset-id demo \
+        [--resume] [--ttl] [--validate] [--canonicalize]
+
+Reads the corpus table (parquet/Iceberg path or table), runs
+extract -> link -> assemble -> canonicalize, writes partitioned triples
++ lineage, and optionally the sectioned Turtle shards and the validation
+report. `--resume` anti-joins against existing lineage so completed
+documents are skipped (north-rule checkpoint resume).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True, help="parquet path or table of (repo,path,commit,lang,content)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--dataset-id", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--ttl", action="store_true", help="also write Turtle shards")
+    ap.add_argument("--validate", action="store_true", help="write violations parquet")
+    ap.add_argument("--canonicalize", action="store_true",
+                    help="apply species same-as connected-components mapping")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.appName("rdf-generator-spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = builder.getOrCreate()
+
+    from rdf_generator_spark.queries import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+
+    corpus = spark.read.parquet(args.corpus)
+    t0 = time.perf_counter()
+
+    if args.resume:
+        from rdf_generator_spark.streaming.lineage import run_resumable
+
+        stats = run_resumable(spark, corpus, args.out, dataset_id=args.dataset_id)
+        triples = spark.read.parquet(os.path.join(args.out, "triples"))
+    else:
+        from rdf_generator_spark.plans.pipeline import build_graph
+
+        res = build_graph(spark, corpus, dataset_id=args.dataset_id)
+        triples = res["triples"]
+        if args.canonicalize:
+            from rdf_generator_spark.operators.canonicalize import (
+                apply_canonical_mapping,
+                connected_components,
+                species_same_as_edges,
+            )
+
+            edges = species_same_as_edges(triples)
+            if not edges.isEmpty():
+                triples = apply_canonical_mapping(
+                    triples, connected_components(edges)
+                )
+        triples.write.mode("overwrite").partitionBy("repo").parquet(
+            os.path.join(args.out, "triples")
+        )
+        stats = {"docs": corpus.select("repo", "commit").distinct().count(),
+                 "triples": triples.count()}
+        if args.validate:
+            from rdf_generator_spark.validation.scopes import validation_report
+
+            violations, conformance = validation_report(res)
+            violations.write.mode("overwrite").parquet(os.path.join(args.out, "violations"))
+            conformance.write.mode("overwrite").parquet(os.path.join(args.out, "conformance"))
+            stats["scopes"] = conformance.count()
+            stats["violations"] = violations.count()
+        if args.ttl:
+            from rdf_generator_spark.sinks.turtle import write_turtle_shards
+
+            info = write_turtle_shards(triples, os.path.join(args.out, "ttl"))
+            stats["ttl_shards"] = info["n_shards"]
+
+    stats["wall_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(stats))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -48,3 +48,38 @@ def test_synth_corpus_matches_oracle_per_doc(spark, seed):
             + "\n".join(f"  EXTRA {t}" for t in sorted(extra)[:8])
             + "\n".join(f"  MISS  {t}" for t in sorted(missing)[:8])
         )
+
+
+def test_dataset_id_from_yaml_config(spark):
+    """SRC1: dataset_id in a lang='yaml' config row salts every org seed
+    (reference main.py:232-235: config dominates the metadata salt)."""
+    from rdf_generator_spark.ids import uuid5_kb
+    from rdf_generator_spark import terms as T
+
+    rows = synth_corpus_rows(n_datasets=1, ntax=4, nchar=4, seed=5)
+    repo, _, commit, _, _ = rows[0]
+    with_cfg = rows + [(repo, "config.yaml", commit, "yaml", "dataset_id: demo-42\n")]
+    res = build_graph(spark, corpus_df(spark, with_cfg))
+    orgs = {
+        r["s"]
+        for r in res["triples"].filter(
+            (res["triples"].p == T.RDF_TYPE)
+            & (res["triples"].o == T.OWL_NAMED_INDIVIDUAL)
+        ).collect()
+        if r["s"].startswith(T.KB + "org-")
+    }
+    # at least one org seed must match the dataset::demo-42 salt
+    cells = P._parse_nexus_matrix(rows[1][4])
+    taxon = sorted({t for _, t, _, _ in cells})[0]
+    from rdf_generator_spark.normalize import py_norm_seed_component, py_norm_taxon_label
+
+    seed = "::".join([
+        "dataset::demo-42",
+        py_norm_seed_component(py_norm_taxon_label(taxon)) or "unknown-taxon",
+        "female organism",
+    ])
+    expected = uuid5_kb("org", seed)
+    assert any(o == expected for o in orgs) or any(
+        uuid5_kb("org", seed.replace("female organism", "male organism")) == o
+        for o in orgs
+    ), (expected, sorted(orgs)[:4])
