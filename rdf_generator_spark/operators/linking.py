@@ -89,6 +89,36 @@ def fill_character_uris(chars: DataFrame, vocab: DataFrame) -> DataFrame:
     return out
 
 
+def fill_stats(chars: DataFrame, vocab: DataFrame) -> DataFrame:
+    """J1 bookkeeping (main.py:302, 330-343): per document, how many
+    missing-URI mentions were filled from the vocabulary vs left
+    unresolved. One exploded mention table + one broadcast join."""
+    org = chars.select(
+        *DOC_KEYS, F.col("org_label").alias("label"), F.col("org_uri").alias("uri")
+    )
+    var = chars.filter(F.col("has_variable")).select(
+        *DOC_KEYS, F.col("var_label").alias("label"), F.col("var_uri").alias("uri")
+    )
+    loc = chars.select(*DOC_KEYS, F.explode("locators").alias("m")).select(
+        *DOC_KEYS, F.col("m.label").alias("label"), F.col("m.uri").alias("uri")
+    )
+    st = chars.select(*DOC_KEYS, F.explode("states").alias("m")).select(
+        *DOC_KEYS, F.col("m.label").alias("label"), F.col("m.uri").alias("uri")
+    )
+    mentions = org.unionByName(var).unionByName(loc).unionByName(st)
+    cand = mentions.filter(
+        missing_uri(F.col("uri")) & (norm_term_label(F.col("label")) != "")
+    )
+    v = F.broadcast(vocab.withColumnRenamed("uri", "__resolved"))
+    joined = cand.join(
+        v, norm_term_label(F.col("label")) == v.norm_label, "left"
+    )
+    return joined.groupBy(*DOC_KEYS).agg(
+        F.sum(F.when(F.col("__resolved").isNotNull(), 1).otherwise(0)).alias("filled"),
+        F.sum(F.when(F.col("__resolved").isNull(), 1).otherwise(0)).alias("unresolved"),
+    )
+
+
 def state_label_index(states_long: DataFrame) -> DataFrame:
     """J2 (main.py:566-572): dataset-wide raw-label -> first truthy URI,
     first-wins in (char order, state order).

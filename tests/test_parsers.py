@@ -62,3 +62,18 @@ def test_owl_label_index(spark):
     assert "glossal rod" in index
     vocab = vocab_df_from_corpus(spark, golden_corpus_df(spark))
     assert vocab.count() == 320
+
+
+def test_fill_stats_matches_reference_counts(spark):
+    """The reference logs filled=17 unresolved=3 on the example corpus
+    (J1 summary, main.py:531-535 — 3 misses are the negation labels)."""
+    from rdf_generator_spark.operators.linking import fill_stats
+    from rdf_generator_spark.sources import parsers
+    from rdf_generator_spark.sources.corpus import vocab_df_from_corpus
+
+    corpus = golden_corpus_df(spark)
+    chars = parsers.parse_char_docs(corpus)
+    vocab = vocab_df_from_corpus(spark, corpus)
+    row = fill_stats(chars, vocab).collect()
+    assert len(row) == 1
+    assert row[0]["filled"] == 17 and row[0]["unresolved"] == 3
