@@ -21,6 +21,12 @@ character side (dimension-sized per corpus design).
 Scoping note (SURVEY.md §7): the reference's global sequential counters
 are scoped per document here — the one semantic the single-process
 reference cannot keep at corpus scale.
+
+Input contract: one character-JSON and one NEXUS document per
+`(repo, commit)` group (the reference's config points at exactly one of
+each). Multiple JSON files in one group would make character order —
+and thus the matrix column mapping — ambiguous; shard multi-matrix
+repositories into one group per matrix.
 """
 
 from __future__ import annotations

@@ -83,3 +83,33 @@ def test_dataset_id_from_yaml_config(spark):
         uuid5_kb("org", seed.replace("female organism", "male organism")) == o
         for o in orgs
     ), (expected, sorted(orgs)[:4])
+
+
+def test_skewed_corpus_giant_matrix_exact(spark):
+    """Skew path: one 10x-larger NEXUS matrix among small documents —
+    per-document exactness must hold and the giant must not perturb its
+    neighbors (windows are per-document)."""
+    rows = synth_corpus_rows(
+        n_datasets=3, ntax=6, nchar=6, seed=31, giant_every=3, giant_scale=5
+    )
+    corpus = corpus_df(spark, rows)
+    res = build_graph(spark, corpus)
+    got_by_doc = defaultdict(set)
+    for r in res["triples"].collect():
+        got_by_doc[r["repo"]].add((r["s"], r["p"], r["o"], bool(r["lit"]), r["dt"]))
+    by_repo = defaultdict(dict)
+    for repo, path, commit, lang, content in rows:
+        by_repo[repo][lang] = content
+    sizes = {}
+    for repo, docs in by_repo.items():
+        chars = P.char_rows_from_json(docs["json"])
+        cells = P._parse_nexus_matrix(docs["nexus"])
+        species = P.species_rows_from_json(docs["species-json"])
+        metadata = {r["char_id"]: r["source_text"]
+                    for r in P.metadata_rows_from_csv(docs["csv"])}
+        vocab = build_label_index(docs["owl"])
+        want = RefSim(chars, cells, species, metadata, vocab).run()["final"].triples()
+        assert got_by_doc[repo] == want, repo
+        sizes[repo] = len(want)
+    # the giant really is an order of magnitude bigger
+    assert max(sizes.values()) > 8 * min(sizes.values())
