@@ -140,6 +140,58 @@ def jaccard_pairs(
     )
 
 
+def near_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The canonical corpus-dedup composition: MinHash-LSH candidate
+    generation -> exact Jaccard verification on candidates only ->
+    connected components over verified pairs -> one keeper per group.
+
+    Returns (doc_id, keeper, group_size>=2 rows only). Pairwise work is
+    confined to LSH buckets and the verify join touches candidates only
+    — the 10^9-document shape of this pipeline."""
+    from rdf_generator_spark.operators.canonicalize import connected_components
+
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_k=shingle_k,
+    )
+    toks = _shingles(df, id_col, text_col, shingle_k) if shingle_k > 1 else _tokens(
+        df, id_col, text_col
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(toks.select(F.col("doc_id").alias("d1"), "tok"), "d1")
+        .join(toks.select(F.col("doc_id").alias("d2"), "tok"), ["d2", "tok"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    verified = (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
+        .filter(
+            F.col("inter_cnt")
+            >= F.lit(threshold) * (F.col("sz1") + F.col("sz2") - F.col("inter_cnt"))
+        )
+        .select(F.col("d1").cast("string").alias("a"), F.col("d2").cast("string").alias("b"))
+    )
+    cc = connected_components(verified)
+    return (
+        cc.select(F.col("node").alias(id_col), F.col("canon").alias("keeper"))
+        .join(
+            cc.groupBy("canon").agg(F.count(F.lit(1)).alias("group_size")),
+            F.col("keeper") == F.col("canon"),
+        )
+        .drop("canon")
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 64) -> DataFrame:
     """64-bit SimHash fingerprints, pure SQL.

@@ -130,3 +130,19 @@ def test_multimodal_plumbing(spark):
     assert {r["ts_ms"] for r in frames} == {0, 1000, 2000, 3000}
     with pytest.raises(Exception):
         multimodal.extract_features(media, fake=False).collect()
+
+
+def test_near_dup_groups_end_to_end(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (4, "completely different content about spark pipelines here"),
+        (5, "another unrelated document with its own words entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    groups = dedupe.near_dup_groups(df, threshold=0.5, shingle_k=2,
+                                    num_hashes=16, bands=8)
+    got = {(r["doc_id"], r["keeper"], r["group_size"]) for r in groups.collect()}
+    # docs 1,2,3 form one group with keeper "1"; 4 and 5 are not grouped
+    assert got == {("1", "1", 3), ("2", "1", 3), ("3", "1", 3)}
