@@ -113,3 +113,83 @@ def test_skewed_corpus_giant_matrix_exact(spark):
         sizes[repo] = len(want)
     # the giant really is an order of magnitude bigger
     assert max(sizes.values()) > 8 * min(sizes.values())
+
+
+def test_adversarial_labels_exact(spark, tmp_path):
+    """Labels with quotes, backslashes, newlines-in-comments, unicode and
+    odd whitespace must survive seeding, emission and Turtle roundtrip."""
+    import json as _json
+
+    chars = [
+        {
+            "Char_ID": "C1",
+            "Organism": {"Label": "adult organism",
+                         "URI": "http://purl.obolibrary.org/obo/UBERON_0007023"},
+            "Locators": [
+                {"Locator 1 label": 'lóbulo "anterior"', "Locator 1 URI": None},
+                {"Locator 2 label": "weird\\path", "Locator 2 URI": None},
+            ],
+            "Variable": {"Variable label": "forma  doble espacio",
+                         "Variable URI": None,
+                         "Variable comment": "line one\nline two"},
+            "States": [
+                {"State 0 label": "présent", "State 0 URI": None, "State 0 token": "0"},
+                {"State 1 label": 'not "quoted"', "State 1 URI": None, "State 1 token": "1"},
+            ],
+            "Tag": "transformational_complex",
+        },
+        {
+            "Char_ID": "C2",
+            "Organism": {"Label": "female organism",
+                         "URI": "http://purl.obolibrary.org/obo/UBERON_0003100"},
+            "Locators": [{"Locator 1 label": "büte", "Locator 1 URI": None}],
+            "States": [
+                {"State 0 label": '"quoted"',
+                 "State 0 URI": "http://purl.obolibrary.org/obo/PATO_0000001",
+                 "State 0 token": "0"},
+                {"State 1 label": "zwei", "State 1 URI": None, "State 1 token": "1"},
+            ],
+            "Tag": "neomorphic",
+        },
+    ]
+    nexus = (
+        "#NEXUS\n\nBEGIN DATA;\n\tDIMENSIONS  NTAX=2 NCHAR=2;\n"
+        "\tFORMAT DATATYPE = STANDARD GAP = - MISSING = ? SYMBOLS = \"01\";\n"
+        "\tMATRIX\n\t'Tàxon_ünïcode'  01\n\t'Second_taxon'  10\n\n;\nEND;\n"
+    )
+    species = _json.dumps([
+        {"input_species_name": "Tàxon_ünïcode",
+         "valid_species_name": "Tàxon ünïcode (Quoté, 1999)",
+         "ID": 123, "zoobank_identifier": None, "match_level": "species"},
+    ])
+    meta = 'Char_ID,Comment\nC1,Modified from "weird" source\n'
+    rows = [
+        ("adv/repo", "c.json", "a" * 40, "json", _json.dumps(chars)),
+        ("adv/repo", "m.nex", "a" * 40, "nexus", nexus),
+        ("adv/repo", "s.json", "a" * 40, "species-json", species),
+        ("adv/repo", "md.csv", "a" * 40, "csv", meta),
+    ]
+    res = build_graph(spark, corpus_df(spark, rows))
+    got = {
+        (r["s"], r["p"], r["o"], bool(r["lit"]), r["dt"])
+        for r in res["triples"].collect()
+    }
+    want = RefSim(
+        P.char_rows_from_json(rows[0][4]),
+        P._parse_nexus_matrix(nexus),
+        P.species_rows_from_json(species),
+        {r["char_id"]: r["source_text"] for r in P.metadata_rows_from_csv(meta)},
+        {},
+    ).run()["final"].triples()
+    assert got == want, (len(got - want), len(want - got),
+                         sorted(got - want)[:4], sorted(want - got)[:4])
+
+    # turtle roundtrip with the hostile literals
+    import os as _os
+    from rdf_generator_spark.sinks.turtle import write_turtle
+    from tests.test_turtle import parse_turtle
+
+    out = str(tmp_path / "adv.ttl")
+    write_turtle(res["triples"], lambda r, c: out)
+    got_ttl = parse_turtle(open(out, encoding="utf-8").read())
+    assert got_ttl == want
