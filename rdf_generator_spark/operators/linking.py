@@ -89,6 +89,54 @@ def fill_character_uris(chars: DataFrame, vocab: DataFrame) -> DataFrame:
     return out
 
 
+def fuzzy_match_labels(
+    mentions: DataFrame,
+    vocab: DataFrame,
+    label_col: str = "label",
+    threshold: float = 0.7,
+    ngram: int = 3,
+) -> DataFrame:
+    """Similarity tier of entity linking (north-star generalization of
+    the reference's exact-match-only J1): batched candidate generation
+    via character-n-gram overlap against the broadcast vocabulary,
+    scored with Dice similarity, best-above-threshold per mention.
+
+    Input: distinct mention labels. Output: (label, uri, score) for
+    mentions resolvable at >= threshold. Keep the exact tier first;
+    route only its misses here."""
+    from pyspark.sql.window import Window
+
+    def grams(c: Column) -> Column:
+        padded = F.concat(F.lit(" "), norm_term_label(c), F.lit(" "))
+        n = F.greatest(F.length(padded) - (ngram - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: padded.substr(i, F.lit(ngram)))
+        )
+
+    m = mentions.select(F.col(label_col).alias("label")).distinct().select(
+        "label", F.explode(grams(F.col("label"))).alias("g"),
+        F.size(grams(F.col("label"))).alias("n_m"),
+    )
+    v = vocab.select(
+        F.col("norm_label").alias("v_label"), "uri",
+        F.explode(grams(F.col("norm_label"))).alias("g"),
+        F.size(grams(F.col("norm_label"))).alias("n_v"),
+    )
+    scored = (
+        m.join(F.broadcast(v), "g")
+        .groupBy("label", "v_label", "uri", "n_m", "n_v")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .withColumn("score", 2 * F.col("overlap") / (F.col("n_m") + F.col("n_v")))
+        .filter(F.col("score") >= threshold)
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("score"), "uri")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", "uri", F.round("score", 4).alias("score"))
+    )
+
+
 def fill_stats(chars: DataFrame, vocab: DataFrame) -> DataFrame:
     """J1 bookkeeping (main.py:302, 330-343): per document, how many
     missing-URI mentions were filled from the vocabulary vs left

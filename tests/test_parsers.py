@@ -77,3 +77,25 @@ def test_fill_stats_matches_reference_counts(spark):
     row = fill_stats(chars, vocab).collect()
     assert len(row) == 1
     assert row[0]["filled"] == 17 and row[0]["unresolved"] == 3
+
+
+def test_fuzzy_match_labels(spark):
+    """Similarity tier: misspelled mentions resolve to the nearest vocab
+    label; unrelated mentions stay unresolved."""
+    from rdf_generator_spark.operators.linking import fuzzy_match_labels
+    from rdf_generator_spark.sources.corpus import vocab_df_from_corpus
+
+    vocab = vocab_df_from_corpus(spark, golden_corpus_df(spark))
+    mentions = spark.createDataFrame(
+        [("glosal rod",), ("Basal  Area",), ("zzz qqq xxx",)], ["label"]
+    )
+    got = {r["label"]: r["uri"] for r in
+           fuzzy_match_labels(mentions, vocab, threshold=0.6).collect()}
+    assert got.get("glosal rod", "").endswith("#SYN_") is False
+    assert "glosal rod" in got  # typo resolved
+    assert "Basal  Area" in got  # case/whitespace resolved
+    assert "zzz qqq xxx" not in got  # garbage stays unresolved
+    # the typo resolves to the right concept
+    idx = {r["norm_label"]: r["uri"] for r in vocab.collect()}
+    assert got["glosal rod"] == idx["glossal rod"]
+    assert got["Basal  Area"] == idx["basal area"]
