@@ -894,6 +894,15 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
     matrix_labels = matrix_pruned.filter(F.col("p") == T.RDFS_LABEL).select(*DOC, "s", "o")
     final = apply_label_priority(matrix_labels, pruned)
 
+    # characters_combined output (S3): base + char graphs, with matrix
+    # labels made authoritative before writing (main.py:2129-2137)
+    char_combined = apply_label_priority(
+        matrix_labels,
+        dedup_triples(
+            parts.filter(F.col("part").isin("base", "char")).drop("part")
+        ),
+    )
+
     return {
         "chars": charsx,
         "states": states_x,
@@ -909,5 +918,6 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         "tu_part": tu_part,
         "base_part": base_part,
         "matrix_pruned": matrix_pruned,
+        "char_combined": char_combined,
         "triples": final,
     }

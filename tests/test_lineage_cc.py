@@ -86,3 +86,69 @@ def test_apply_canonical_mapping(spark):
         ("ex:b", "ex:lit", True),
         ("ex:z", "ex:b", False),
     }
+
+def test_dual_species_mint_unified_by_cc(spark):
+    """F9 quirk: SpeciesLabel+SpeciesID rows mint a second sp- IRI with a
+    different seed casing (main.py:638 lower vs 1174 un-lowered); CC over
+    same-as edges unifies the two under one canonical IRI."""
+    import json as _json
+
+    from rdf_generator_spark import terms as T
+    from rdf_generator_spark.operators.canonicalize import (
+        apply_canonical_mapping,
+        connected_components,
+        species_same_as_edges,
+    )
+    from rdf_generator_spark.plans.pipeline import build_graph
+
+    chars = [{
+        "Char_ID": "C1",
+        "Organism": {"Label": "female organism",
+                     "URI": "http://purl.obolibrary.org/obo/UBERON_0003100"},
+        "Locators": [{"Locator 1 label": "labrum",
+                      "Locator 1 URI": "http://purl.obolibrary.org/obo/HAO_0000456"}],
+        "States": [
+            {"State 0 label": "absent",
+             "State 0 URI": "http://purl.obolibrary.org/obo/PATO_0000462",
+             "State 0 token": "0"},
+            {"State 1 label": "present",
+             "State 1 URI": "http://purl.obolibrary.org/obo/PATO_0000467",
+             "State 1 token": "1"},
+        ],
+        "Tag": "neomorphic",
+        "SpeciesLabel": "Genus_species",
+        "SpeciesID": 424242,
+    }]
+    nexus = ("#NEXUS\n\nBEGIN DATA;\n\tDIMENSIONS  NTAX=1 NCHAR=1;\n"
+             "\tFORMAT DATATYPE = STANDARD GAP = - MISSING = ?;\n"
+             "\tMATRIX\n\t'Genus_species'  1\n\n;\nEND;\n")
+    species = _json.dumps([{"input_species_name": "Genus_species",
+                            "valid_species_name": "Genus species Author, 2000",
+                            "ID": 424242, "zoobank_identifier": None,
+                            "match_level": "species"}])
+    rows = [
+        ("cc/repo", "c.json", "b" * 40, "json", _json.dumps(chars)),
+        ("cc/repo", "m.nex", "b" * 40, "nexus", nexus),
+        ("cc/repo", "s.json", "b" * 40, "species-json", species),
+    ]
+    from rdf_generator_spark.sources.corpus import corpus_df
+
+    res = build_graph(spark, corpus_df(spark, rows))
+    tri = res["triples"]
+    sp_nodes = {
+        r["s"] for r in tri.collect() if r["s"].startswith(T.KB + "sp-")
+    }
+    assert len(sp_nodes) == 2  # the two seed variants both minted
+
+    edges = species_same_as_edges(tri)
+    assert edges.count() == 1
+    canon = apply_canonical_mapping(tri, connected_components(edges))
+    sp_after = {
+        r["s"] for r in canon.collect() if r["s"].startswith(T.KB + "sp-")
+    }
+    assert len(sp_after) == 1
+    # and no dangling references to the merged-away IRI remain
+    gone = sp_nodes - sp_after
+    assert canon.filter(
+        (canon.o.isin(*gone)) & (~canon.lit)
+    ).count() == 0

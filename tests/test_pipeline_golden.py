@@ -78,3 +78,9 @@ def test_species_part_matches_oracle(result, oracle):
     got = _collect(result["species_part"])
     want = oracle["species"].triples()
     assert got == want, _diff_report(got, want)
+
+
+def test_characters_combined_matches_oracle(result, oracle):
+    got = _collect(result["char_combined"])
+    want = oracle["char"].triples()
+    assert got == want, _diff_report(got, want)
