@@ -225,6 +225,45 @@ def q3_shipping_topk(spark, sf_dir):
     )
 
 
+def q5_local_volume(spark, sf_dir):
+    """TPC-H Q5-style 6-way join: revenue per nation where customer and
+    supplier share the nation, dimensions broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def a4_distinct_rollup(spark, sf_dir):
+    """Exact distinct-count rollup (A4-style stats): suppliers and parts
+    per nation across lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def o3_bucket_route(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     bucket = F.split(F.col("p_type"), " ")[0]
@@ -515,6 +554,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v1_cardinality_rule": v1_cardinality_rule,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_topk": q3_shipping_topk,
+    "q5_local_volume": q5_local_volume,
+    "a4_distinct_rollup": a4_distinct_rollup,
     "o3_bucket_route": o3_bucket_route,
     "dedup_exact": dedup_exact,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
@@ -636,6 +677,29 @@ ORACLES: Dict[str, str] = {
         GROUP BY o_orderkey
         ORDER BY revenue_cents DESC, o_orderkey
         LIMIT 10
+    """,
+    "q5_local_volume": """
+        SELECT n_name,
+               SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+                 AS revenue_cents,
+               COUNT(*) AS n_items
+        FROM customer
+        JOIN orders ON c_custkey=o_custkey
+        JOIN lineitem ON o_orderkey=l_orderkey
+        JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+        JOIN nation ON s_nationkey=n_nationkey
+        JOIN region ON n_regionkey=r_regionkey
+        GROUP BY n_name
+    """,
+    "a4_distinct_rollup": """
+        SELECT n_name,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey=s_suppkey
+        JOIN nation ON s_nationkey=n_nationkey
+        GROUP BY n_name
     """,
     "o3_bucket_route": """
         SELECT string_split(p_type,' ')[1] AS bucket, COUNT(*) AS n,
