@@ -16,8 +16,10 @@ from pyspark.sql import functions as F
 
 from rdf_generator_spark.terms import DEFAULT_CHAR_SORT_NUM, KB
 
-# Python's str.strip() removes all whitespace; F.trim only spaces.
-_WS_EDGE = r"^[\s]+|[\s]+$"
+# Python str.strip() removes all Unicode whitespace; Java regex \s is
+# ASCII-only by default, so (?U) (UNICODE_CHARACTER_CLASS) + explicit
+# NEL keeps the JVM column path identical to the py_* twins below.
+_WS_EDGE = r"(?U)^[\s\u0085]+|[\s\u0085]+$"
 
 
 def strip_col(c: Column) -> Column:
@@ -35,7 +37,7 @@ def norm_taxon_label(c: Column) -> Column:
 def norm_term_label(c: Column) -> Column:
     """normalize_term_label (main.py:170-175): lower, strip, collapse ws."""
     s = F.when(c.isNull(), F.lit("")).otherwise(c)
-    return F.regexp_replace(F.lower(strip_col(s)), r"\s+", " ")
+    return F.regexp_replace(F.lower(strip_col(s)), r"(?U)\s+", " ")
 
 
 def norm_seed_component(c: Column) -> Column:
@@ -57,7 +59,7 @@ def parse_char_num_col(c: Column) -> Column:
 def extract_revision_source_col(c: Column) -> Column:
     """extract_revision_source (main.py:199-205)."""
     s = F.when(c.isNull(), F.lit("")).otherwise(c)
-    return strip_col(F.regexp_replace(strip_col(s), r"(?i)^\s*modified\s+from\s+", ""))
+    return strip_col(F.regexp_replace(strip_col(s), r"(?iU)^\s*modified\s+from\s+", ""))
 
 
 # ---------------------------------------------------------------------------

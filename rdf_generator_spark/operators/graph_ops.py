@@ -20,13 +20,17 @@ def dedup_triples(df: DataFrame) -> DataFrame:
     return df.dropDuplicates(DOC_KEYS + TRIPLE_COLS)
 
 
-def prune_unreferenced(df: DataFrame) -> DataFrame:
+def prune_unreferenced(df: DataFrame, hint=F.broadcast) -> DataFrame:
     """prune_unreferenced_prototypes (main.py:1596-1634).
 
     Victims: kb:qua-* NamedIndividuals not objects of phb:0000003 and
     kb:org-* not objects of phb:0000002; drop all triples where a victim
-    is subject or (IRI) object. Two left-anti joins with a broadcast
-    victim set.
+    is subject or (IRI) object. Two left-anti joins on the victim set.
+
+    `hint` wraps the victim side (default broadcast). The victim set
+    grows with the corpus, so the pipeline passes its gated hint — past
+    the document threshold the anti-joins shuffle on (repo, commit, node)
+    instead of broadcasting an unbounded table.
     """
     named = (
         df.filter((F.col("p") == T.RDF_TYPE) & (F.col("o") == T.OWL_NAMED_INDIVIDUAL))
@@ -51,11 +55,11 @@ def prune_unreferenced(df: DataFrame) -> DataFrame:
     )
     victims = qua_victims.unionByName(org_victims).distinct()
     out = df.join(
-        F.broadcast(victims.withColumnRenamed("node", "s")),
+        hint(victims.withColumnRenamed("node", "s")),
         DOC_KEYS + ["s"],
         "left_anti",
     )
-    vo = F.broadcast(
+    vo = hint(
         victims.select(
             F.col("repo").alias("__vr"),
             F.col("commit").alias("__vc"),
@@ -76,15 +80,36 @@ def prune_unreferenced(df: DataFrame) -> DataFrame:
 def apply_label_priority(matrix_labels: DataFrame, target: DataFrame) -> DataFrame:
     """apply_matrix_label_priority (main.py:1243-1270).
 
-    `matrix_labels`: (doc, s, o) authoritative rdfs:label values (one per
-    subject). For every subject of `target` that has a matrix label, all
-    its rdfs:label triples are replaced by the matrix one.
+    `matrix_labels`: (doc, s, o) authoritative rdfs:label values. For
+    every subject of `target` that has a matrix label, all its
+    rdfs:label triples are replaced by the matrix one.
+
+    The reference takes the FIRST label in graph insertion order
+    (main.py pref_labels[0]); when `matrix_labels` carries an `ord`
+    struct (emission-order key built by the pipeline), min_by replays
+    that order. Labels with no order key sort last, tie-broken on the
+    label text so the choice stays deterministic. No broadcast hint:
+    the label map grows with the corpus (per-document keys), so the
+    join is left to AQE — it still broadcasts at fixture scale and
+    falls back to shuffle past the threshold.
     """
-    ml = F.broadcast(
-        matrix_labels.select(*DOC_KEYS, "s", "o").groupBy(*DOC_KEYS, "s").agg(
+    if "ord" in matrix_labels.columns:
+        # nulls-last fill must match the ord struct's field names/types
+        max_ord = F.struct(
+            *[F.lit(2 ** 62).cast("long").alias(f"k{i}") for i in range(1, 6)]
+        )
+        key = F.struct(
+            F.coalesce(F.col("ord"), max_ord).alias("eo"), F.col("o").alias("tb")
+        )
+        ml = (
+            matrix_labels.select(*DOC_KEYS, "s", "o", "ord")
+            .groupBy(*DOC_KEYS, "s")
+            .agg(F.min_by("o", key).alias("o"))
+        )
+    else:
+        ml = matrix_labels.select(*DOC_KEYS, "s", "o").groupBy(*DOC_KEYS, "s").agg(
             F.min("o").alias("o")
         )
-    )
     target_subjects = target.select(*DOC_KEYS, "s").distinct()
     replacements = (
         target_subjects.join(ml, DOC_KEYS + ["s"], "inner")

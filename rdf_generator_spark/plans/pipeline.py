@@ -62,6 +62,16 @@ _LOC_CHAIN_TYPE = (
     "array<struct<iri:string,label:string,uri:string,prev:string>>"
 )
 
+# Above this many corpus FILES the dimension-side broadcast hints are
+# dropped and the joins fall back to AQE's runtime choice: the per-
+# document dimension tables (characters, states, species keys, J2 index)
+# are tiny per document, but the broadcast is of their union across ALL
+# documents, which grows linearly with the corpus and would exceed the
+# 8 GB broadcast ceiling long before 100 TB. All of these joins carry
+# (repo, commit) in the key, so the shuffle fallback co-locates by
+# document and stays skew-free.
+_DIM_BROADCAST_FILE_LIMIT = 2000
+
 
 def _nonempty(c) -> F.Column:
     return F.coalesce(strip_col(c), F.lit("")) != ""
@@ -112,6 +122,7 @@ def build_graph(
     vocab: Optional[DataFrame] = None,
     materialize: bool = True,
     assemble: bool = True,
+    dim_broadcast: Optional[bool] = None,
 ) -> Dict[str, DataFrame]:
     """Run the full pipeline; returns named DataFrames.
 
@@ -121,10 +132,33 @@ def build_graph(
     one materialized dataset instead of replaying the parse+join lineage —
     at cluster scale this is where the Iceberg staging write goes.
     """
+    if dim_broadcast is None:
+        # limit().count() short-circuits after N+1 rows, so this probe
+        # costs O(N) regardless of corpus size; file count bounds
+        # document count.
+        dim_broadcast = (
+            corpus.limit(_DIM_BROADCAST_FILE_LIMIT + 1).count()
+            <= _DIM_BROADCAST_FILE_LIMIT
+        )
+    bhint = F.broadcast if dim_broadcast else (lambda d: d)
+
     chars_raw = parsers.parse_char_docs(corpus)
     cells = parsers.parse_nexus_docs(corpus)
     species = parsers.parse_species_docs(corpus)
-    meta = parsers.parse_metadata_docs(corpus)
+    # Last-row-wins per Char_ID, replaying the reference's dict overwrite
+    # (main.py:214-221): a repeated Char_ID must update, not fan out the
+    # char join below (which would duplicate every downstream visit row
+    # and shift the sequential :id-N counters). Keys are per-document so
+    # the aggregation shuffles on (repo, commit, char_id) — no skew risk.
+    meta = (
+        parsers.parse_metadata_docs(corpus)
+        .groupBy(*DOC, "char_id")
+        .agg(
+            F.max_by(
+                "source_text", F.struct(F.col("path"), F.col("meta_pos"))
+            ).alias("source_text")
+        )
+    )
     if vocab is None:
         vocab = vocab_df_from_corpus(spark, corpus)
     if dataset_id is None:
@@ -261,7 +295,7 @@ def build_graph(
         F.col("pos_uri").alias("__j2uri"),
     )
     st = st.join(
-        F.broadcast(j2r),
+        bhint(j2r),
         (F.col("repo") == F.col("__j2_repo"))
         & (F.col("commit") == F.col("__j2_commit"))
         & (F.lower(F.col("base_label")) == F.col("__j2_key"))
@@ -321,7 +355,7 @@ def build_graph(
     chars_b = charsx.drop("path").withColumn("char_index", F.col("char_pos"))
     cells_j = cells.select(
         *DOC, "taxon_pos", "taxon", "char_index", "symbol"
-    ).join(F.broadcast(chars_b), DOC + ["char_index"], "inner")
+    ).join(bhint(chars_b), DOC + ["char_index"], "inner")
 
     cells_j = (
         cells_j.withColumn("cell_iri",
@@ -467,7 +501,7 @@ def build_graph(
         F.col("char_var_uri").alias("st_var_uri"),
     )
     visits = visits.join(
-        F.broadcast(stj),
+        bhint(stj),
         (F.col("repo") == F.col("__st_repo"))
         & (F.col("commit") == F.col("__st_commit"))
         & (F.col("char_pos") == F.col("st_char_pos"))
@@ -508,12 +542,12 @@ def build_graph(
 
     return _assemble(
         spark, corpus, charsx, states_x, cells_j, visits, species, cells, meta,
-        materialize,
+        materialize, bhint,
     )
 
 
 def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, meta,
-              materialize=True):
+              materialize=True, bhint=F.broadcast):
     """Emit all triple families, tag parts, and build the final graph."""
     NI = T.OWL_NAMED_INDIVIDUAL
 
@@ -740,7 +774,7 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
     ).filter(F.col("__key").isNotNull())
     taxa_sp = (
         taxa.alias("t").join(
-            F.broadcast(skeys.alias("k")),
+            bhint(skeys.alias("k")),
             (F.col("t.repo") == F.col("k.repo"))
             & (F.col("t.commit") == F.col("k.commit"))
             & (F.col("t.taxon_label") == F.col("k.__key")),
@@ -827,7 +861,7 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         )
     )
     tu_rows = (
-        taxa_sp.join(F.broadcast(default_org), DOC, "left")
+        taxa_sp.join(bhint(default_org), DOC, "left")
         .withColumn(
             "org_eff",
             F.coalesce(
@@ -887,11 +921,66 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         parts = parts.localCheckpoint(eager=True)
 
     all_triples = dedup_triples(parts.drop("part"))
-    pruned = prune_unreferenced(all_triples)
+    pruned = prune_unreferenced(all_triples, hint=bhint)
     matrix_pruned = prune_unreferenced(
-        dedup_triples(parts.filter(F.col("part") == "matrix").drop("part"))
+        dedup_triples(parts.filter(F.col("part") == "matrix").drop("part")),
+        hint=bhint,
     )
-    matrix_labels = matrix_pruned.filter(F.col("p") == T.RDFS_LABEL).select(*DOC, "s", "o")
+    # Emission-order key for matrix labels: the reference's label-priority
+    # pass takes the FIRST label in graph insertion order (main.py:1243-1270
+    # pref_labels[0]), which only diverges from lexicographic min when one
+    # subject carries two distinct matrix labels — class URIs labeled from
+    # several states/visits, or colliding sta-/restr-/comp- seeds. Replay
+    # the reference loop order (handle_quality per state -> char/state
+    # nodes -> per-cell visit loop: organism, locator chain, variable) as a
+    # sortable struct. Unmapped labels sort last (see apply_label_priority).
+    def _ord(k1, k2, k3, k4, k5):
+        return F.struct(
+            k1.cast("long").alias("k1"), F.lit(k2).cast("long").alias("k2"),
+            k3.cast("long").alias("k3"), k4.cast("long").alias("k4"),
+            k5.cast("long").alias("k5"),
+        )
+
+    def _lab(df, s_col, o_col, ordc):
+        return df.select(
+            *DOC, s_col.cast("string").alias("s"),
+            o_col.cast("string").alias("o"), ordc.alias("ord"),
+        ).filter(F.col("s").isNotNull() & F.col("o").isNotNull())
+
+    Z = F.lit(0)
+    CP, SI = F.col("char_pos"), F.col("state_idx")
+    TP, VO = F.col("taxon_pos"), F.col("vord")
+    label_order = union_emissions(
+        _lab(states_x.filter(F.col("uri_t").isNotNull()),
+             F.col("uri_t"), F.col("labelN"), _ord(CP, 0, SI, Z, Z)),
+        _lab(states_x, F.col("qua_iri"), F.col("qua_label"),
+             _ord(CP, 0, SI, F.lit(1), Z)),
+        _lab(states_x.filter(F.col("neg_resolved")), F.col("restr_iri"),
+             F.concat(F.lit("has_characteristic some "), F.col("base_label")),
+             _ord(CP, 0, SI, F.lit(2), Z)),
+        _lab(states_x.filter(F.col("neg_resolved")), F.col("comp_iri"),
+             F.concat(F.lit("NOT (has_characteristic some "),
+                      F.col("base_label"), F.lit(")")),
+             _ord(CP, 0, SI, F.lit(3), Z)),
+        _lab(states_x, F.col("sta_iri"), F.col("sta_label"),
+             _ord(CP, 1, SI, Z, Z)),
+        _lab(visits, F.col("v_org_uri"), F.col("v_org_label"),
+             _ord(CP, 2, TP, VO, Z)),
+        _lab(loc_x.filter(F.col("lc.uri").isNotNull()),
+             F.col("lc.uri"), F.col("lc.label"),
+             _ord(CP, 2, TP, VO, F.lit(1) + F.col("lpos"))),
+        _lab(visits.filter(F.col("var_iri").isNotNull()
+                           & F.col("var_uri").isNotNull()
+                           & (F.col("var_uri") != "")),
+             F.col("var_uri"), F.col("var_label_eff"),
+             _ord(CP, 2, TP, VO, F.lit(1_000_000))),
+    ).groupBy(*DOC, "s", "o").agg(F.min("ord").alias("ord"))
+
+    matrix_labels = (
+        matrix_pruned.filter(F.col("p") == T.RDFS_LABEL)
+        .select(*DOC, "s", "o")
+        .join(label_order, DOC + ["s", "o"], "left")
+    )
     final = apply_label_priority(matrix_labels, pruned)
 
     # characters_combined output (S3): base + char graphs, with matrix

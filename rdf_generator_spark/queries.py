@@ -415,12 +415,12 @@ def ann_cosine_topk(spark, sf_dir):
             (dot / (norm(F.col("embedding")) * norm(F.col("q_emb")))).alias("sim"),
         )
     )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
+    # merged on the driver) — no global single-partition window shuffle. The
+    # row_number window then runs over just the 8 surviving rows.
+    top = sims.orderBy(F.desc("sim"), "vec_id").limit(8)
     w = Window.orderBy(F.desc("sim"), "vec_id")
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 8)
-        .select("rank", "vec_id")
-    )
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "vec_id")
 
 
 def events_sessionize(spark, sf_dir):
@@ -598,7 +598,7 @@ ORACLES: Dict[str, str] = {
     "j5_symbol_state_join": """
         WITH e AS (SELECT json_extract_string(props,'$.k') AS sym, value FROM events)
         SELECT s_suppkey, COUNT(*) AS n,
-               SUM(CAST(ROUND(value*100) AS BIGINT)) AS v_cents
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS v_cents
         FROM e JOIN supplier ON TRY_CAST(sym AS INT)=s_suppkey
         WHERE regexp_matches(sym,'^\\d+$')
         GROUP BY s_suppkey
@@ -659,16 +659,19 @@ ORACLES: Dict[str, str] = {
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-               SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                 AS sum_base_cents,
+               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100)
+                             AS BIGINT)) AS BIGINT)
                  AS sum_disc_cents,
                COUNT(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     "q3_shipping_topk": """
         SELECT o_orderkey,
-               SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100)
+                             AS BIGINT)) AS BIGINT)
                  AS revenue_cents
         FROM customer
         JOIN orders ON c_custkey=o_custkey
@@ -680,7 +683,8 @@ ORACLES: Dict[str, str] = {
     """,
     "q5_local_volume": """
         SELECT n_name,
-               SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100)
+                             AS BIGINT)) AS BIGINT)
                  AS revenue_cents,
                COUNT(*) AS n_items
         FROM customer
@@ -763,8 +767,9 @@ ORACLES: Dict[str, str] = {
         ),
         agg AS (
             SELECT doc_id, COUNT(*) AS n,
-                   SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is')
-                            THEN 1 ELSE 0 END) AS n_stop
+                   CAST(SUM(CASE WHEN tok IN
+                                 ('the','a','of','and','to','in','is')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
             FROM toks GROUP BY doc_id
         )
         SELECT doc_id, n_stop,
@@ -835,12 +840,13 @@ ORACLES: Dict[str, str] = {
                         THEN 1 ELSE 0 END AS new_sess
             FROM events
         )
-        SELECT user_id, SUM(new_sess) AS n_sessions FROM g GROUP BY user_id
+        SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+        FROM g GROUP BY user_id
     """,
     "w1_tumbling_window": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                event_type, COUNT(*) AS n,
-               SUM(CAST(ROUND(value*100) AS BIGINT)) AS v_cents
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS v_cents
         FROM events GROUP BY 1, 2
     """,
 }

@@ -98,6 +98,10 @@ METADATA_SCHEMA = T.StructType(
     + [
         T.StructField("char_id", T.StringType()),
         T.StructField("source_text", T.StringType()),
+        # CSV row position: the reference folds rows into a dict where a
+        # repeated Char_ID overwrites (main.py:214-221) — carrying the
+        # position lets the pipeline replay last-row-wins distributively.
+        T.StructField("meta_pos", T.IntegerType()),
     ]
 )
 
@@ -327,11 +331,14 @@ def metadata_rows_from_csv(content: str) -> List[dict]:
     """One metadata CSV -> (char_id, source_text) rows (main.py:208-224)."""
     out: List[dict] = []
     try:
-        for row in csv.DictReader(io.StringIO(content or "")):
+        for pos, row in enumerate(csv.DictReader(io.StringIO(content or ""))):
             char_id = str(row.get("Char_ID", "") or "").strip()
             source_text = py_extract_revision_source(row.get("Comment"))
             if char_id and source_text:
-                out.append({"char_id": char_id, "source_text": source_text})
+                out.append(
+                    {"char_id": char_id, "source_text": source_text,
+                     "meta_pos": pos}
+                )
     except csv.Error:
         pass
     return out

@@ -57,8 +57,16 @@ def run_resumable(
     dataset_id: Optional[str] = None,
     snapshot_id: str = "",
 ) -> Dict[str, int]:
-    """One resumable batch: skip done docs, build, append triples +
-    lineage parquet (partitioned by repo). Returns counters."""
+    """One resumable batch: skip done docs, build, write triples +
+    lineage parquet.
+
+    The commit is idempotent: both tables are partitioned by
+    (repo, commit) and written with dynamic partition overwrite, so a
+    crash between the triples write and the lineage write (or a
+    foreachBatch retry) re-processes those document groups and
+    OVERWRITES the same partitions instead of appending duplicates —
+    at-least-once execution, exactly-once table state. On Iceberg the
+    same property comes from a single atomic snapshot commit."""
     from rdf_generator_spark.plans.pipeline import build_graph
 
     triples_path = os.path.join(out_dir, "triples")
@@ -75,7 +83,12 @@ def run_resumable(
     t0 = time.perf_counter()
     res = build_graph(spark, todo, dataset_id=dataset_id)
     triples = res["triples"]
-    triples.write.mode("append").partitionBy("repo").parquet(triples_path)
+    (
+        triples.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("repo", "commit")
+        .parquet(triples_path)
+    )
     wall_ms = int((time.perf_counter() - t0) * 1000)
 
     counts = triples.groupBy(*DOC).agg(F.count(F.lit(1)).alias("n_triples"))
@@ -88,6 +101,11 @@ def run_resumable(
         .withColumn("wall_ms", F.lit(wall_ms))
         .select(*LINEAGE_COLS)
     )
-    lineage_rows.write.mode("append").parquet(lineage_path)
+    (
+        lineage_rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("repo", "commit")
+        .parquet(lineage_path)
+    )
     n_triples = spark.read.parquet(triples_path).count()
     return {"docs": n_docs, "triples": n_triples}

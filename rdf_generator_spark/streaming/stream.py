@@ -40,8 +40,12 @@ def run_streaming_ingest(
 ):
     """One AvailableNow pass: new corpus files -> triples/lineage parquet.
 
-    Exactly-once across restarts comes from the stream checkpoint (source
-    offsets) + idempotent per-document lineage rows."""
+    Execution is at-least-once (a foreachBatch retry re-runs the batch),
+    but table state is exactly-once: run_resumable writes both tables
+    with dynamic partition overwrite keyed by (repo, commit), so a
+    retried batch overwrites the same partitions instead of appending
+    duplicates. The stream checkpoint (source offsets) bounds which
+    files each batch sees."""
     from rdf_generator_spark.streaming.lineage import run_resumable
 
     checkpoint = os.path.join(out_dir, "_checkpoint")

@@ -260,20 +260,30 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_bands: int = 6,
+    bits_per_band: int = 6,
     seed: int = 7,
 ) -> DataFrame:
-    """Embedding-cosine near-dup candidates via random-hyperplane LSH,
-    verified exactly.
+    """Embedding-cosine near-dup pairs via OR-amplified random-hyperplane
+    LSH, verified exactly.
+
+    `n_bands` independent signatures of `bits_per_band` hyperplane bits
+    each; a pair is a candidate when ANY band matches (OR-amplification,
+    like `minhash_lsh_pairs`' band tables) — a single wide signature
+    would require all bits to agree and silently drop most true pairs.
+    At the defaults, a cosine-0.95 pair agrees per bit with p~=0.90, so
+    per band p~=0.53 and across 6 bands recall ~=0.99; exact-duplicate
+    (positively scaled) vectors match every band deterministically
+    because sign(p.v) is scale-invariant. Candidates are verified with
+    the exact cosine, so precision is 1.0 by construction.
 
     Plane directions are pseudo-random but deterministic (hash-derived,
-    no RNG state). Bucket join -> exact cosine on candidates only."""
-    import math
+    no RNG state). The only pairwise step is the per-band bucket
+    self-join; AQE skew-join splits hot buckets at corpus scale."""
+    import hashlib
 
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"]
-    # deterministic pseudo-gaussianish planes from hashes
-    import hashlib
+    dim = first["d"] if first is not None else 0
 
     def plane(p):
         vals = []
@@ -282,30 +292,53 @@ def embedding_neardup_pairs(
             vals.append((hsh / 0x7FFFFFFF) - 1.0)
         return vals
 
-    planes = [plane(p) for p in range(n_planes)]
     norm = F.sqrt(
-        F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double"))
+        F.aggregate(F.col(vec_col), F.lit(0.0),
+                    lambda a, v: a + v.cast("double") * v.cast("double"))
     )
-    sig = None
-    for p, pl in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in pl])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda a, v: a + v,
-        )
-        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p)
-        sig = bit if sig is None else sig + bit
-    sigs = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"), sig.alias("bucket"), norm.alias("nrm"))
-    a = sigs.select(F.col("doc_id").alias("d1"), F.col("v").alias("v1"), "bucket", F.col("nrm").alias("n1"))
-    b = sigs.select(F.col("doc_id").alias("d2"), F.col("v").alias("v2"), "bucket", F.col("nrm").alias("n2"))
-    cand = a.join(b, "bucket").filter(F.col("d1") < F.col("d2"))
+
+    def band_sig(band):
+        sig = None
+        for b in range(bits_per_band):
+            pl = plane(band * bits_per_band + b)
+            arr = F.array(*[F.lit(float(x)) for x in pl])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda a, v: a + v,
+            )
+            bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b)
+            sig = bit if sig is None else sig + bit
+        return sig
+
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(band).alias("band"), band_sig(band).alias("bucket"))
+            for band in range(n_bands)
+        ]
+    )
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
+        norm.alias("nrm"), F.explode(band_structs).alias("bb"),
+    ).select("doc_id", "v", "nrm", "bb.band", "bb.bucket")
+    a = sigs.select(F.col("doc_id").alias("d1"), F.col("v").alias("v1"),
+                    F.col("nrm").alias("n1"), "band", "bucket")
+    b = sigs.select(F.col("doc_id").alias("d2"), F.col("v").alias("v2"),
+                    F.col("nrm").alias("n2"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        # OR-combine the bands BEFORE the exact-cosine verify so each
+        # candidate pair is verified once, not once per matching band
+        .dropDuplicates(["d1", "d2"])
+    )
     cos = (
         F.aggregate(
-            F.zip_with(F.col("v1"), F.col("v2"), lambda x, y: x.cast("double") * y.cast("double")),
+            F.zip_with(F.col("v1"), F.col("v2"),
+                       lambda x, y: x.cast("double") * y.cast("double")),
             F.lit(0.0), lambda acc, v: acc + v,
         )
         / (F.col("n1") * F.col("n2"))
     )
     return cand.select("d1", "d2", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
-    ).distinct()
+    )

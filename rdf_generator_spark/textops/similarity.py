@@ -99,21 +99,19 @@ def ivf_build(
     for _ in range(iters):
         assigned = assign(centroids)
         dim_arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        # centroid update as posexplode + per-(cell, dim) avg: each
+        # aggregation buffer holds one running mean, never a cell's full
+        # vector list — a collect_list-then-fold would OOM on a hot cell
+        # at 10^9 vectors. The final collect_list is bounded by `dim`.
         centroids = (
-            assigned.groupBy("cell")
-            .agg(
-                F.aggregate(
-                    F.collect_list(dim_arr),
-                    F.array_repeat(F.lit(0.0), 0),
-                    lambda acc, v: F.when(F.size(acc) == 0, v).otherwise(
-                        F.zip_with(acc, v, lambda a, b: a + b)
-                    ),
-                ).alias("sumv"),
-                F.count(F.lit(1)).alias("n"),
-            )
+            assigned.select("cell", F.posexplode(dim_arr).alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .select(
                 "cell",
-                F.transform(F.col("sumv"), lambda s: s / F.col("n")).alias("centroid"),
+                F.transform(F.col("dm"), lambda s: s["m"]).alias("centroid"),
             )
             .localCheckpoint(eager=True)
         )

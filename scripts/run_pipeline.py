@@ -55,46 +55,65 @@ def main(argv=None) -> int:
     corpus = spark.read.parquet(args.corpus)
     t0 = time.perf_counter()
 
+    if args.resume and args.validate:
+        # per-scope validation needs the pipeline's tagged part tables,
+        # which a resumed (lineage-anti-joined) run does not rebuild for
+        # already-done documents — refuse instead of silently skipping.
+        ap.error("--validate cannot be combined with --resume; run a full "
+                 "pass (drop --resume) to produce the validation report")
+
     if args.resume:
         from rdf_generator_spark.streaming.lineage import run_resumable
 
         stats = run_resumable(spark, corpus, args.out, dataset_id=args.dataset_id)
         triples = spark.read.parquet(os.path.join(args.out, "triples"))
+        res = None
     else:
         from rdf_generator_spark.plans.pipeline import build_graph
 
         res = build_graph(spark, corpus, dataset_id=args.dataset_id)
         triples = res["triples"]
-        if args.canonicalize:
-            from rdf_generator_spark.operators.canonicalize import (
-                apply_canonical_mapping,
-                connected_components,
-                species_same_as_edges,
-            )
 
-            edges = species_same_as_edges(triples)
-            if not edges.isEmpty():
-                triples = apply_canonical_mapping(
-                    triples, connected_components(edges)
-                )
+    # post-steps run against the post-resume triples table too (a resumed
+    # run previously ignored --ttl/--canonicalize silently)
+    if args.canonicalize:
+        from rdf_generator_spark.operators.canonicalize import (
+            apply_canonical_mapping,
+            connected_components,
+            species_same_as_edges,
+        )
+
+        edges = species_same_as_edges(triples)
+        if not edges.isEmpty():
+            triples = apply_canonical_mapping(triples, connected_components(edges))
+
+    if args.resume:
+        if args.canonicalize:
+            # keep the resumable triples/lineage tables untouched (they are
+            # the checkpoint); canonical view goes to its own output
+            triples.write.mode("overwrite").partitionBy("repo").parquet(
+                os.path.join(args.out, "triples_canonical")
+            )
+    else:
         triples.write.mode("overwrite").partitionBy("repo").parquet(
             os.path.join(args.out, "triples")
         )
         stats = {"docs": corpus.select("repo", "commit").distinct().count(),
                  "triples": triples.count()}
-        if args.validate:
-            from rdf_generator_spark.validation.scopes import validation_report
 
-            violations, conformance = validation_report(res)
-            violations.write.mode("overwrite").parquet(os.path.join(args.out, "violations"))
-            conformance.write.mode("overwrite").parquet(os.path.join(args.out, "conformance"))
-            stats["scopes"] = conformance.count()
-            stats["violations"] = violations.count()
-        if args.ttl:
-            from rdf_generator_spark.sinks.turtle import write_turtle_shards
+    if args.validate:
+        from rdf_generator_spark.validation.scopes import validation_report
 
-            info = write_turtle_shards(triples, os.path.join(args.out, "ttl"))
-            stats["ttl_shards"] = info["n_shards"]
+        violations, conformance = validation_report(res)
+        violations.write.mode("overwrite").parquet(os.path.join(args.out, "violations"))
+        conformance.write.mode("overwrite").parquet(os.path.join(args.out, "conformance"))
+        stats["scopes"] = conformance.count()
+        stats["violations"] = violations.count()
+    if args.ttl:
+        from rdf_generator_spark.sinks.turtle import write_turtle_shards
+
+        info = write_turtle_shards(triples, os.path.join(args.out, "ttl"))
+        stats["ttl_shards"] = info["n_shards"]
 
     stats["wall_sec"] = round(time.perf_counter() - t0, 2)
     print(json.dumps(stats))

@@ -84,3 +84,12 @@ def test_characters_combined_matches_oracle(result, oracle):
     got = _collect(result["char_combined"])
     want = oracle["char"].triples()
     assert got == want, _diff_report(got, want)
+
+
+def test_shuffle_join_fallback_is_golden_equal(spark, oracle):
+    """Past the document-count gate the dimension joins drop their
+    broadcast hints (many-document corpora); output must be identical."""
+    res = build_graph(spark, golden_corpus_df(spark), dim_broadcast=False)
+    got = _collect(res["triples"])
+    want = oracle["final"].triples()
+    assert got == want, _diff_report(got, want)

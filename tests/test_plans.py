@@ -84,3 +84,15 @@ def test_kg_join_broadcasts_character_dimension(spark):
     res = build_graph(spark, golden_corpus_df(spark), materialize=False, assemble=False)
     plan = plan_of(res["cells"])
     assert "BroadcastHashJoin" in plan
+
+
+def test_kg_join_shuffle_fallback_past_gate(spark):
+    """With the dimension-broadcast gate tripped (many-document corpus)
+    the char join must plan as a shuffle join, not an unbounded
+    broadcast."""
+    res = build_graph(
+        spark, golden_corpus_df(spark), materialize=False, assemble=False,
+        dim_broadcast=False,
+    )
+    plan = plan_of(res["cells"])
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
