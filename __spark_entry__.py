@@ -18,6 +18,7 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from rdf_generator_spark import queries as Q  # noqa: E402
+from rdf_generator_spark import queries_kg as QK  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,11 +33,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (plus the
-    training-data-pipeline operators)."""
-    return dict(Q.QUERIES)
+    training-data-pipeline operators): relational analogues
+    (rdf_generator_spark.queries) + KG-native golden-corpus entries
+    (rdf_generator_spark.queries_kg)."""
+    return {**Q.QUERIES, **QK.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every oracle-checkable query; engine-
-    native entries (uuid5 mint, full KG pipeline) are rows-only."""
-    return dict(Q.ORACLES)
+    """DuckDB-equivalent SQL for every oracle-checkable query; the few
+    engine-native entries without a twin are rows-only."""
+    return {**Q.ORACLES, **QK.ORACLES}

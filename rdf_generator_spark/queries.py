@@ -454,10 +454,13 @@ def w1_tumbling_window(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def k1_uuid5_mint(spark, sf_dir):
+    """UUID5 minting in pure SQL (ids.py sha1 algebra) over the 25 fixed
+    nation names — seeds known a priori, so the DuckDB oracle is a
+    precomputed uuid.uuid5 VALUES table (DuckDB has no sha1)."""
     from rdf_generator_spark.ids import kb_iri
 
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", kb_iri("doc", F.col("text")).alias("iri"))
+    n = _t(spark, sf_dir, "nation")
+    return n.select("n_name", kb_iri("doc", F.col("n_name")).alias("iri"))
 
 
 def text_quality_score(spark, sf_dir):
@@ -475,10 +478,21 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 def dedup_embedding_neardup(spark, sf_dir):
+    """Embedding near-dup pairs with 20 planted scaled copies
+    (vec_id+1000000, vector*1.5 — cosine exactly 1.0). sign(p.v) is
+    scale-invariant, so every LSH band matches the planted pairs
+    deterministically; the 0.98 threshold is far above any natural pair
+    in the synthetic data, making the exact-cosine DuckDB twin a true
+    oracle (not a recall coin-flip)."""
     from rdf_generator_spark.textops.dedupe import embedding_neardup_pairs
 
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9
+        e.unionByName(planted), threshold=0.98
     ).select("d1", "d2")
 
 
@@ -497,9 +511,13 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 def text_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint with the md5 shingle-hash variant so the
+    full rolling-min algebra has a DuckDB twin (DuckDB lacks xxhash64;
+    the default xxhash64 variant is covered by pytest)."""
     from rdf_generator_spark.textops.analysis import fingerprint
 
-    return fingerprint(_t(spark, sf_dir, "documents"), window=4)
+    return fingerprint(_t(spark, sf_dir, "documents"), window=4,
+                       shingle_hash="md5")
 
 
 def multimodal_features(spark, sf_dir):
@@ -849,4 +867,94 @@ ORACLES: Dict[str, str] = {
                CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS v_cents
         FROM events GROUP BY 1, 2
     """,
+    "dedup_embedding_neardup": """
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        planted AS (
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE))
+                     AS v
+            FROM embeddings WHERE vec_id < 20
+        ),
+        allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.98
+    """,
+    "multimodal_features": """
+        SELECT CAST(i AS BIGINT) AS media_id,
+               CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               sha256(repeat('payload-' || CAST(i AS VARCHAR),
+                             CAST(i + 1 AS INT))) AS payload_sha256,
+               CAST(length(repeat('payload-' || CAST(i AS VARCHAR),
+                                  CAST(i + 1 AS INT))) AS INT) AS n_bytes
+        FROM range(24) t(i)
+    """,
+    "text_winnow_fingerprint": """
+        WITH n AS (
+            SELECT doc_id,
+                   regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt
+            FROM documents
+        ),
+        t AS (SELECT doc_id, md5(nt) AS content_fp,
+                     string_split(nt, ' ') AS ts FROM n),
+        sh AS (
+            SELECT doc_id, content_fp,
+                   list_transform(
+                       range(0, greatest(len(ts) - 3, 0) + 1),
+                       i -> md5(array_to_string(ts[i+1:i+3], ' '))) AS shs
+            FROM t
+        ),
+        w AS (
+            SELECT doc_id, content_fp,
+                   list_sort(list_distinct(list_transform(
+                       range(0, greatest(len(shs) - 4, 0) + 1),
+                       i -> list_aggregate(shs[i+1:i+4], 'min')))) AS wn
+            FROM sh
+        )
+        SELECT doc_id, content_fp, CAST(len(wn) AS INT) AS n_winnowed,
+               md5(array_to_string(wn, ',')) AS winnow_fp
+        FROM w
+    """,
 }
+
+# UUID5 seeds are known a priori (the 25 fixed nation names), so the k1
+# oracle is a VALUES table of uuid.uuid5 ground truth computed by the
+# CPython stdlib — DuckDB has no sha1, but it doesn't need one.
+from rdf_generator_spark.ids import uuid5_kb as _uuid5_kb  # noqa: E402
+
+_K1_SEEDS = [f"NATION_{i}" for i in range(25)]
+ORACLES["k1_uuid5_mint"] = (
+    "SELECT n_name, iri FROM (VALUES "
+    + ", ".join(f"('{s}', '{_uuid5_kb('doc', s)}')" for s in _K1_SEEDS)
+    + ") AS t(n_name, iri)"
+)
+
+# IVF is approximate by design, but its seeded init (smallest xxhash64
+# ids) + fixed Lloyd rounds make the output a deterministic function of
+# the input — pinned from a verified run at sf0.01 (stable across
+# re-runs; any change to the algorithm is a deliberate semantic change
+# and should re-pin). Same for the per-repo triple counts of the
+# synthetic KG corpus, which golden-equality tests derive independently.
+_IVF_PINNED = [
+    (0, 1, 365), (0, 2, 387), (0, 3, 73), (0, 4, 190), (0, 5, 388),
+    (1, 1, 386), (1, 2, 407), (1, 3, 195), (1, 4, 64), (1, 5, 472),
+    (2, 1, 117), (2, 2, 450), (2, 3, 188), (2, 4, 320), (2, 5, 418),
+]
+ORACLES["ann_ivf_topk"] = (
+    "SELECT q_id, rank, vec_id FROM (VALUES "
+    + ", ".join(f"({q}, {r}, {v})" for q, r, v in _IVF_PINNED)
+    + ") AS t(q_id, rank, vec_id)"
+)
+
+_KG_SYNTH_PINNED = [("synth/dataset-0000", 2182), ("synth/dataset-0001", 2123)]
+ORACLES["kg_pipeline_synth"] = (
+    "SELECT repo, n_triples FROM (VALUES "
+    + ", ".join(f"('{r}', {n})" for r, n in _KG_SYNTH_PINNED)
+    + ") AS t(repo, n_triples)"
+)

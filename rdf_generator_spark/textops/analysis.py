@@ -94,11 +94,16 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    window: Optional[int] = None,
+    window: Optional[int] = None, shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """Document fingerprints: normalized-content hash plus a winnowing-
     style rolling selection — the minimum shingle hash per fixed-size
-    window (robust to local edits)."""
+    window (robust to local edits).
+
+    `shingle_hash`: "xxhash64" (default, fastest — JVM long hash) or
+    "md5" (hex-string min; slower but reproducible in engines without
+    xxhash64, used by the DuckDB correctness oracle). The winnowed set
+    is sorted before hashing so the fingerprint is order-canonical."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     base = df.select(F.col(id_col), F.md5(norm).alias("content_fp"), norm.alias("__n"))
     if not window:
@@ -106,16 +111,17 @@ def fingerprint(
     toks = F.split(F.col("__n"), " ")
     k = 3
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    hash_fn = F.xxhash64 if shingle_hash == "xxhash64" else F.md5
     sh_hashes = F.transform(
-        idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " "))
+        idx, lambda i: hash_fn(F.array_join(F.slice(toks, i + 1, k), " "))
     )
     widx = F.sequence(
         F.lit(0),
         F.greatest((F.size(sh_hashes) - window), F.lit(0)),
     )
-    winnowed = F.array_distinct(
+    winnowed = F.array_sort(F.array_distinct(
         F.transform(widx, lambda i: F.array_min(F.slice(sh_hashes, i + 1, window)))
-    )
+    ))
     return base.select(
         id_col, "content_fp", F.size(winnowed).alias("n_winnowed"),
         F.md5(F.array_join(F.transform(winnowed, lambda x: x.cast("string")), ",")).alias("winnow_fp"),
