@@ -123,14 +123,23 @@ def build_graph(
     materialize: bool = True,
     assemble: bool = True,
     dim_broadcast: Optional[bool] = None,
+    staging_dir: Optional[str] = None,
 ) -> Dict[str, DataFrame]:
     """Run the full pipeline; returns named DataFrames.
 
     With ``materialize`` (default) the hub tables (chars/states/visits and
-    the emitted triple union) are local-checkpointed: every downstream
-    branch (per-part outputs, prune, label priority, validation) reuses
-    one materialized dataset instead of replaying the parse+join lineage —
-    at cluster scale this is where the Iceberg staging write goes.
+    the emitted triple union) are materialized: every downstream branch
+    (per-part outputs, prune, label priority, validation) reuses one
+    materialized dataset instead of replaying the parse+join lineage.
+
+    Materialization mechanism: ``localCheckpoint`` by default (fastest on
+    a single box, but the blocks live on executors — a lost executor
+    kills the job instead of recomputing). Pass ``staging_dir`` to stage
+    the hub tables to parquet there instead: cluster-durable, survives
+    executor loss, and the natural mount point for an Iceberg staging
+    table (swap the write/read pair for a table identifier — a config
+    change, not a code change). `run_resumable` stages under its output
+    directory automatically.
     """
     if dim_broadcast is None:
         # limit().count() short-circuits after N+1 rows, so this probe
@@ -534,21 +543,40 @@ def build_graph(
             "visits": visits, "species": species,
         }
 
+    mat = _materializer(spark, staging_dir)
     if materialize:
-        charsx = charsx.localCheckpoint(eager=True)
-        states_x = states_x.localCheckpoint(eager=True)
-        cells_j = cells_j.localCheckpoint(eager=True)
-        visits = visits.localCheckpoint(eager=True)
+        charsx = mat(charsx, "charsx")
+        states_x = mat(states_x, "states_x")
+        cells_j = mat(cells_j, "cells_j")
+        visits = mat(visits, "visits")
 
     return _assemble(
         spark, corpus, charsx, states_x, cells_j, visits, species, cells, meta,
-        materialize, bhint,
+        materialize, bhint, mat,
     )
 
 
+def _materializer(spark, staging_dir: Optional[str]):
+    """Hub-table materializer: parquet staging when `staging_dir` is
+    set (cluster-durable), localCheckpoint otherwise (single-box)."""
+    if staging_dir is None:
+        return lambda df, name: df.localCheckpoint(eager=True)
+
+    import os
+
+    def stage(df, name):
+        path = os.path.join(staging_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    return stage
+
+
 def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, meta,
-              materialize=True, bhint=F.broadcast):
+              materialize=True, bhint=F.broadcast, mat=None):
     """Emit all triple families, tag parts, and build the final graph."""
+    if mat is None:
+        mat = lambda df, name: df.localCheckpoint(eager=True)  # noqa: E731
     NI = T.OWL_NAMED_INDIVIDUAL
 
     # -- base part (constant scaffold per document) -----------------------
@@ -918,7 +946,7 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         with_part(tu_part, "tu"),
     )
     if materialize:
-        parts = parts.localCheckpoint(eager=True)
+        parts = mat(parts, "parts")
 
     all_triples = dedup_triples(parts.drop("part"))
     pruned = prune_unreferenced(all_triples, hint=bhint)

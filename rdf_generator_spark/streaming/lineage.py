@@ -81,7 +81,12 @@ def run_resumable(
         return {"docs": 0, "triples": 0}
 
     t0 = time.perf_counter()
-    res = build_graph(spark, todo, dataset_id=dataset_id)
+    # durable hub-table staging: a resumable run must survive executor
+    # loss (localCheckpoint blocks would not), so stage under out_dir
+    res = build_graph(
+        spark, todo, dataset_id=dataset_id,
+        staging_dir=os.path.join(out_dir, "_staging"),
+    )
     triples = res["triples"]
     (
         triples.write.mode("overwrite")
@@ -107,5 +112,10 @@ def run_resumable(
         .partitionBy("repo", "commit")
         .parquet(lineage_path)
     )
+    # dynamic overwrite REPLACES part files in place; invalidate the
+    # session's shared file-status cache or later same-session reads of
+    # these paths serve stale listings (FAILED_READ_FILE)
+    spark.catalog.refreshByPath(triples_path)
+    spark.catalog.refreshByPath(lineage_path)
     n_triples = spark.read.parquet(triples_path).count()
     return {"docs": n_docs, "triples": n_triples}

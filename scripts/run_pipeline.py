@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     ap.add_argument("--canonicalize", action="store_true",
                     help="apply species same-as connected-components mapping")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--durable-staging", action="store_true",
+                    help="stage hub tables to parquet under OUT/_staging "
+                         "(survives executor loss) instead of localCheckpoint")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -71,7 +74,11 @@ def main(argv=None) -> int:
     else:
         from rdf_generator_spark.plans.pipeline import build_graph
 
-        res = build_graph(spark, corpus, dataset_id=args.dataset_id)
+        res = build_graph(
+            spark, corpus, dataset_id=args.dataset_id,
+            staging_dir=(os.path.join(args.out, "_staging")
+                         if args.durable_staging else None),
+        )
         triples = res["triples"]
 
     # post-steps run against the post-resume triples table too (a resumed

@@ -47,9 +47,14 @@ def test_resume_skips_done_docs(spark, tmp_path):
     r4 = L.run_resumable(spark, corpus_df(spark, drifted), out, snapshot_id="snap4")
     assert r4["docs"] == 1
 
-    # lineage carries the sha256 invariant
+    # lineage carries the sha256 invariant — re-read: runs 3/4 replaced
+    # part files (dynamic overwrite), so the pre-run handle is stale
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
     row = lin.select("content_sha256").first()
     assert len(row["content_sha256"]) == 64
+    # idempotent commits: re-running over the same corpus never
+    # duplicates lineage rows (5 files x 3 datasets)
+    assert lin.count() == 15
 
 
 def test_connected_components(spark):

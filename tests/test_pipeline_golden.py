@@ -86,6 +86,17 @@ def test_characters_combined_matches_oracle(result, oracle):
     assert got == want, _diff_report(got, want)
 
 
+def test_durable_staging_is_golden_equal(spark, oracle, tmp_path):
+    """Parquet hub-table staging (the cluster-durable materialization
+    path used by run_resumable) must produce the identical graph."""
+    res = build_graph(
+        spark, golden_corpus_df(spark), staging_dir=str(tmp_path / "staging")
+    )
+    got = _collect(res["triples"])
+    want = oracle["final"].triples()
+    assert got == want, _diff_report(got, want)
+
+
 def test_shuffle_join_fallback_is_golden_equal(spark, oracle):
     """Past the document-count gate the dimension joins drop their
     broadcast hints (many-document corpora); output must be identical."""
