@@ -78,15 +78,66 @@ def fill_array_uris(
     return df.drop(array_col).join(regrouped, keys, "left")
 
 
-def fill_character_uris(chars: DataFrame, vocab: DataFrame) -> DataFrame:
+def _missing_mention_labels(chars: DataFrame) -> DataFrame:
+    """Distinct normalized labels of mentions whose URI slot is still
+    missing after the exact tier — the fuzzy tier's candidate set."""
+    org = chars.select(F.col("org_label").alias("label"), F.col("org_uri").alias("uri"))
+    var = chars.filter(F.col("has_variable")).select(
+        F.col("var_label").alias("label"), F.col("var_uri").alias("uri")
+    )
+    loc = chars.select(F.explode("locators").alias("m")).select(
+        F.col("m.label").alias("label"), F.col("m.uri").alias("uri")
+    )
+    st = chars.select(F.explode("states").alias("m")).select(
+        F.col("m.label").alias("label"), F.col("m.uri").alias("uri")
+    )
+    mentions = org.unionByName(var).unionByName(loc).unionByName(st)
+    return (
+        mentions.filter(
+            missing_uri(F.col("uri")) & (norm_term_label(F.col("label")) != "")
+            # negation-form state labels are J2's job (resolve to the
+            # complement scaffold, F7) — fuzzy-matching "not pointed" to
+            # "pointed" would silently flip the negation semantics
+            & ~norm_term_label(F.col("label")).startswith("not ")
+        )
+        .select(norm_term_label(F.col("label")).alias("label"))
+        .distinct()
+    )
+
+
+def fill_character_uris(
+    chars: DataFrame, vocab: DataFrame, fuzzy_threshold: float = None
+) -> DataFrame:
     """apply_pmck_uri_fallbacks (main.py:296-343) over the parsed shape:
-    Organism / Locators / Variable / States slots."""
-    out = fill_scalar_uri(chars, "org_label", "org_uri", vocab)
-    out = fill_scalar_uri(out, "var_label", "var_uri", vocab, enabled=F.col("has_variable"))
+    Organism / Locators / Variable / States slots.
+
+    Default is the reference's exact-match tier only (golden parity).
+    With ``fuzzy_threshold`` set, exact-tier misses are routed through
+    `fuzzy_match_labels` (character-n-gram Dice similarity >= threshold)
+    as an opt-in second pass — a north-star generalization the exact
+    reference cannot do. The fuzzy map is distinct-labels-sized (bounded
+    by the vocabulary fan-in), so the second pass reuses the same
+    broadcast-join fills."""
     keys = [*DOC_KEYS, "path", "char_pos"]
-    out = fill_array_uris(out, "locators", vocab, keys)
-    out = fill_array_uris(out, "states", vocab, keys, extra_fields=("token",))
-    return out
+
+    def _fill_all(df, v):
+        out = fill_scalar_uri(df, "org_label", "org_uri", v)
+        out = fill_scalar_uri(out, "var_label", "var_uri", v,
+                              enabled=F.col("has_variable"))
+        out = fill_array_uris(out, "locators", v, keys)
+        out = fill_array_uris(out, "states", v, keys, extra_fields=("token",))
+        return out
+
+    out = _fill_all(chars, vocab)
+    if fuzzy_threshold is None:
+        return out
+
+    misses = _missing_mention_labels(out)
+    fz = fuzzy_match_labels(misses, vocab, threshold=fuzzy_threshold)
+    # inputs were pre-normalized, so the fuzzy output label IS the
+    # norm_label key the fill joins expect
+    fz_vocab = fz.select(F.col("label").alias("norm_label"), "uri")
+    return _fill_all(out, fz_vocab)
 
 
 def fuzzy_match_labels(
@@ -137,10 +188,17 @@ def fuzzy_match_labels(
     )
 
 
-def fill_stats(chars: DataFrame, vocab: DataFrame) -> DataFrame:
+def fill_stats(
+    chars: DataFrame, vocab: DataFrame, fuzzy_threshold: float = None
+) -> DataFrame:
     """J1 bookkeeping (main.py:302, 330-343): per document, how many
     missing-URI mentions were filled from the vocabulary vs left
-    unresolved. One exploded mention table + one broadcast join."""
+    unresolved. One exploded mention table + one broadcast join.
+
+    With ``fuzzy_threshold`` set the result distinguishes the resolution
+    tier: (filled, filled_fuzzy, unresolved), where `filled` is the
+    exact tier and exact-tier misses that the similarity tier resolves
+    count as `filled_fuzzy`."""
     org = chars.select(
         *DOC_KEYS, F.col("org_label").alias("label"), F.col("org_uri").alias("uri")
     )
@@ -161,9 +219,30 @@ def fill_stats(chars: DataFrame, vocab: DataFrame) -> DataFrame:
     joined = cand.join(
         v, norm_term_label(F.col("label")) == v.norm_label, "left"
     )
+    if fuzzy_threshold is None:
+        return joined.groupBy(*DOC_KEYS).agg(
+            F.sum(F.when(F.col("__resolved").isNotNull(), 1).otherwise(0)).alias("filled"),
+            F.sum(F.when(F.col("__resolved").isNull(), 1).otherwise(0)).alias("unresolved"),
+        )
+    misses = joined.filter(
+        F.col("__resolved").isNull()
+        & ~norm_term_label(F.col("label")).startswith("not ")
+    ).select(norm_term_label(F.col("label")).alias("label")).distinct()
+    fz = fuzzy_match_labels(misses, vocab, threshold=fuzzy_threshold).select(
+        F.col("label").alias("__fz_label"), F.col("uri").alias("__fz_uri")
+    )
+    joined = joined.join(
+        fz,
+        F.col("__resolved").isNull()
+        & (norm_term_label(F.col("label")) == F.col("__fz_label")),
+        "left",
+    )
     return joined.groupBy(*DOC_KEYS).agg(
         F.sum(F.when(F.col("__resolved").isNotNull(), 1).otherwise(0)).alias("filled"),
-        F.sum(F.when(F.col("__resolved").isNull(), 1).otherwise(0)).alias("unresolved"),
+        F.sum(F.when(F.col("__resolved").isNull()
+                     & F.col("__fz_uri").isNotNull(), 1).otherwise(0)).alias("filled_fuzzy"),
+        F.sum(F.when(F.col("__resolved").isNull()
+                     & F.col("__fz_uri").isNull(), 1).otherwise(0)).alias("unresolved"),
     )
 
 

@@ -25,8 +25,10 @@ reference cannot keep at corpus scale.
 Input contract: one character-JSON and one NEXUS document per
 `(repo, commit)` group (the reference's config points at exactly one of
 each). Multiple JSON files in one group would make character order —
-and thus the matrix column mapping — ambiguous; shard multi-matrix
-repositories into one group per matrix.
+and thus the matrix column mapping — ambiguous. `build_graph` fails
+loudly on offending groups (check_input_contract=True, default);
+`sources.corpus.shard_multi_matrix_groups` rewrites such corpora into
+one group per matrix automatically (json/nexus paired by path stem).
 """
 
 from __future__ import annotations
@@ -124,6 +126,8 @@ def build_graph(
     assemble: bool = True,
     dim_broadcast: Optional[bool] = None,
     staging_dir: Optional[str] = None,
+    fuzzy_link_threshold: Optional[float] = None,
+    check_input_contract: bool = True,
 ) -> Dict[str, DataFrame]:
     """Run the full pipeline; returns named DataFrames.
 
@@ -141,6 +145,27 @@ def build_graph(
     change, not a code change). `run_resumable` stages under its output
     directory automatically.
     """
+    if check_input_contract:
+        # one char-JSON per (repo, commit): a violated contract would
+        # silently interleave two matrices' character orders. Key-only
+        # aggregate over the json subset; disable for re-validated
+        # corpora if even that scan matters.
+        from rdf_generator_spark.sources.corpus import multi_matrix_groups
+
+        bad = multi_matrix_groups(corpus).limit(10).collect()
+        if bad:
+            groups = ", ".join(
+                f"{r['repo']}@{r['commit'][:8]} ({r['n_json']} JSONs)"
+                for r in bad
+            )
+            raise ValueError(
+                "input contract violated — multiple character-JSON files "
+                f"in one (repo, commit) group: {groups}. Pre-process the "
+                "corpus with sources.corpus.shard_multi_matrix_groups "
+                "(pairs json/nexus by path stem, one group per matrix) "
+                "or split the groups yourself."
+            )
+
     if dim_broadcast is None:
         # limit().count() short-circuits after N+1 rows, so this probe
         # costs O(N) regardless of corpus size; file count bounds
@@ -174,7 +199,11 @@ def build_graph(
         dataset_id = dataset_id_from_config(corpus)
 
     # --- J1 vocab fill + per-char derived columns ------------------------
-    chars_f = linking.fill_character_uris(chars_raw, vocab)
+    # fuzzy_link_threshold routes exact-tier misses through the
+    # similarity tier (opt-in; default preserves reference parity)
+    chars_f = linking.fill_character_uris(
+        chars_raw, vocab, fuzzy_threshold=fuzzy_link_threshold
+    )
 
     if dataset_id is not None:
         did = norm_seed_component(F.lit(dataset_id))

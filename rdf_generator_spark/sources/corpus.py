@@ -124,3 +124,88 @@ def vocab_df_from_corpus(
         for k, v in build_label_index(r["content"]).items():
             index.setdefault(k, v)
     return spark.createDataFrame(sorted(index.items()), VOCAB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Multi-matrix repositories (input-contract helper). The KG pipeline
+# groups documents by (repo, commit) and requires ONE character-JSON and
+# ONE NEXUS file per group (the reference's config points at exactly one
+# of each — configs/config.yaml:1-19); two JSONs in one group would make
+# character order, and thus the matrix column mapping, ambiguous.
+# ---------------------------------------------------------------------------
+
+def _stem(path_col):
+    """Basename minus extension: 'a/b/minimal.json' -> 'minimal'."""
+    from pyspark.sql import functions as F
+
+    base = F.element_at(F.split(path_col, "/"), -1)
+    return F.regexp_replace(base, r"\.[^.]*$", "")
+
+
+def multi_matrix_groups(corpus: DataFrame):
+    """(repo, commit, n_json) rows for groups violating the one-JSON
+    contract. Scans only lang='json' rows (key columns only)."""
+    from pyspark.sql import functions as F
+
+    return (
+        corpus.filter(F.col("lang") == "json")
+        .groupBy("repo", "commit")
+        .agg(F.count(F.lit(1)).alias("n_json"))
+        .filter(F.col("n_json") > 1)
+    )
+
+
+def shard_multi_matrix_groups(corpus: DataFrame) -> DataFrame:
+    """Rewrite multi-matrix groups into one group per matrix.
+
+    Character-JSON and NEXUS files pair by path stem
+    ('wings.json' <-> 'wings.nex'); each pair becomes its own group with
+    ``repo || '::' || stem`` as the repo key, and the group's shared
+    dimension files (species JSON, metadata CSV, ontologies, config) are
+    duplicated into every shard. Groups already satisfying the contract
+    pass through untouched. Raises ValueError when the stems don't pair
+    (ambiguous column mapping — no safe automatic choice).
+
+    Scale shape: two key-only aggregates over the (comparatively tiny)
+    json/nexus subset plus one join per row family — no full-content
+    shuffle; shared-file duplication is a stems-per-group fan-out join.
+    """
+    from pyspark.sql import functions as F
+
+    multi = multi_matrix_groups(corpus).select("repo", "commit")
+    single = corpus.join(multi, ["repo", "commit"], "left_anti")
+    affected = corpus.join(multi, ["repo", "commit"], "left_semi")
+
+    paired = affected.filter(F.col("lang").isin("json", "nexus")).withColumn(
+        "__stem", _stem(F.col("path"))
+    )
+    # pairing must be 1:1 per stem: exactly one json and one nexus
+    bad = (
+        paired.groupBy("repo", "commit", "__stem")
+        .agg(
+            F.sum(F.when(F.col("lang") == "json", 1).otherwise(0)).alias("nj"),
+            F.sum(F.when(F.col("lang") == "nexus", 1).otherwise(0)).alias("nn"),
+        )
+        .filter((F.col("nj") != 1) | (F.col("nn") != 1))
+        .limit(10)
+        .collect()
+    )
+    if bad:
+        groups = ", ".join(f"{r['repo']}@{r['commit'][:8]}:{r['__stem']}"
+                           for r in bad)
+        raise ValueError(
+            "cannot shard multi-matrix groups: json/nexus files do not "
+            f"pair 1:1 by path stem for: {groups}. Rename the files so "
+            "each matrix's JSON and NEXUS share a stem, or split the "
+            "repository into one (repo, commit) group per matrix."
+        )
+
+    stems = paired.select("repo", "commit", "__stem").distinct()
+    shared = affected.filter(~F.col("lang").isin("json", "nexus")).join(
+        stems, ["repo", "commit"]
+    )
+    sharded = paired.unionByName(shared).select(
+        F.concat_ws("::", "repo", "__stem").alias("repo"),
+        "path", "commit", "lang", "content",
+    )
+    return single.unionByName(sharded)

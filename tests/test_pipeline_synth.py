@@ -193,3 +193,67 @@ def test_adversarial_labels_exact(spark, tmp_path):
     write_turtle(res["triples"], lambda r, c: out)
     got_ttl = parse_turtle(open(out, encoding="utf-8").read())
     assert got_ttl == want
+
+
+def test_multi_matrix_contract_and_shard_roundtrip(spark):
+    """A repo with two matrices: build_graph fails loudly; after
+    shard_multi_matrix_groups each shard round-trips golden-equal."""
+    import pytest
+
+    from rdf_generator_spark.plans.pipeline import build_graph
+    from rdf_generator_spark.sources.corpus import (
+        corpus_df, shard_multi_matrix_groups,
+    )
+    from tests.fixtures import GOLDEN_REPO, golden_corpus_rows, golden_parsed
+    from tests.oracle.refsim import RefSim
+
+    rows = golden_corpus_rows()
+    multi = []
+    for repo, path, commit, lang, content in rows:
+        if lang in ("json", "nexus"):
+            ext = path.rsplit(".", 1)[1]
+            multi.append((repo, f"data/m1.{ext}", commit, lang, content))
+            multi.append((repo, f"data/m2.{ext}", commit, lang, content))
+        else:
+            multi.append((repo, path, commit, lang, content))
+    corpus = corpus_df(spark, multi)
+
+    with pytest.raises(ValueError, match="input contract violated"):
+        build_graph(spark, corpus)
+
+    sharded = shard_multi_matrix_groups(corpus)
+    res = build_graph(spark, sharded)
+    per_repo = {}
+    for r in res["triples"].select("repo", "s", "p", "o", "lit", "dt").collect():
+        per_repo.setdefault(r["repo"], set()).add(
+            (r["s"], r["p"], r["o"], bool(r["lit"]), r["dt"])
+        )
+    assert set(per_repo) == {f"{GOLDEN_REPO}::m1", f"{GOLDEN_REPO}::m2"}
+
+    want = RefSim(*golden_parsed()).run()["final"].triples()
+    assert per_repo[f"{GOLDEN_REPO}::m1"] == want
+    assert per_repo[f"{GOLDEN_REPO}::m2"] == want
+
+
+def test_shard_ambiguous_pairing_raises(spark):
+    """Stems that don't pair 1:1 have no safe automatic mapping."""
+    import pytest
+
+    from rdf_generator_spark.sources.corpus import (
+        corpus_df, shard_multi_matrix_groups,
+    )
+    from tests.fixtures import golden_corpus_rows
+
+    rows = golden_corpus_rows()
+    multi = []
+    for repo, path, commit, lang, content in rows:
+        if lang == "json":
+            multi.append((repo, "data/m1.json", commit, lang, content))
+            multi.append((repo, "data/m2.json", commit, lang, content))
+        elif lang == "nexus":
+            # only ONE nexus — m2 has no partner
+            multi.append((repo, "data/m1.nex", commit, lang, content))
+        else:
+            multi.append((repo, path, commit, lang, content))
+    with pytest.raises(ValueError, match="pair 1:1 by path stem"):
+        shard_multi_matrix_groups(corpus_df(spark, multi))
