@@ -1,0 +1,144 @@
+"""Table-format abstraction: parquet paths or Iceberg table identifiers.
+
+The north-rule deployment reads the corpus from (and materializes
+triples/lineage into) partitioned Iceberg tables; this sandbox has no
+Iceberg runtime jars, so every call site goes through this module and
+the choice is a *reference string*, not a code change:
+
+* ``/data/corpus``            -> parquet directory
+* ``iceberg:cat.db.corpus``   -> Iceberg table (requires
+  ``--packages org.apache.iceberg:iceberg-spark-runtime-...`` and a
+  configured catalog on the session)
+
+Semantics mapping (what the parquet fallback emulates):
+
+* snapshot pinning   <- Iceberg ``snapshot-id`` read option; parquet has
+  no snapshots (empty id).
+* idempotent commit  <- Iceberg ``overwritePartitions`` (one atomic
+  snapshot); parquet uses dynamic partition overwrite + refreshByPath.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_PREFIX = "iceberg:"
+
+
+def is_iceberg_ref(ref: str) -> bool:
+    return ref.startswith(ICEBERG_PREFIX)
+
+
+def _name(ref: str) -> str:
+    return ref[len(ICEBERG_PREFIX):]
+
+
+def _iceberg_unavailable(exc: Exception, ref: str) -> RuntimeError:
+    return RuntimeError(
+        f"Iceberg table reference '{ref}' requires the Iceberg Spark "
+        "runtime (spark-submit --packages org.apache.iceberg:"
+        "iceberg-spark-runtime-<spark>_<scala>:<version>) and a catalog "
+        "config (spark.sql.catalog.<name>=org.apache.iceberg.spark."
+        f"SparkCatalog). Underlying error: {exc}"
+    )
+
+
+def read_table(
+    spark: SparkSession, ref: str, snapshot_id: Optional[str] = None
+) -> DataFrame:
+    """Read a corpus/table reference, optionally pinned to a snapshot.
+
+    Snapshot pinning only applies to Iceberg refs; asking for a snapshot
+    of a parquet path is an error (there is nothing to pin)."""
+    if is_iceberg_ref(ref):
+        reader = spark.read.format("iceberg")
+        if snapshot_id:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        try:
+            return reader.load(_name(ref))
+        except Exception as exc:  # jar/catalog missing
+            raise _iceberg_unavailable(exc, ref)
+    if snapshot_id:
+        raise ValueError(
+            f"snapshot_id={snapshot_id!r} requested for parquet path "
+            f"'{ref}' — snapshots need an iceberg: table reference"
+        )
+    return spark.read.parquet(ref)
+
+
+def write_table(
+    df: DataFrame,
+    ref: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite-partitions",
+) -> None:
+    """Write with idempotent-commit semantics.
+
+    ``overwrite-partitions`` replaces exactly the partitions present in
+    `df` (Iceberg: one atomic snapshot; parquet: dynamic partition
+    overwrite). ``append`` blind-appends. ``overwrite`` replaces the
+    whole table."""
+    if is_iceberg_ref(ref):
+        name = _name(ref)
+        try:
+            writer = df.writeTo(name).using("iceberg")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            if mode == "append":
+                writer.append()
+            elif mode == "overwrite":
+                writer.createOrReplace()
+            else:  # overwrite-partitions
+                try:
+                    writer.overwritePartitions()
+                except Exception:
+                    # first write: table does not exist yet
+                    writer.create()
+            return
+        except RuntimeError:
+            raise
+        except Exception as exc:
+            raise _iceberg_unavailable(exc, ref)
+    w = df.write
+    if mode == "append":
+        w = w.mode("append")
+    elif mode == "overwrite":
+        w = w.mode("overwrite")
+    else:
+        w = w.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(ref)
+    # dynamic overwrite replaces part files in place; drop the session's
+    # cached file listing or later reads serve stale paths
+    df.sparkSession.catalog.refreshByPath(ref)
+
+
+def table_exists(spark: SparkSession, ref: str) -> bool:
+    if is_iceberg_ref(ref):
+        try:
+            return spark.catalog.tableExists(_name(ref))
+        except Exception as exc:
+            raise _iceberg_unavailable(exc, ref)
+    import os
+
+    return os.path.exists(ref)
+
+
+def current_snapshot_id(spark: SparkSession, ref: str) -> str:
+    """Latest committed snapshot of an Iceberg table; '' for parquet
+    (no snapshot concept — the lineage row records it verbatim)."""
+    if is_iceberg_ref(ref):
+        try:
+            row = spark.sql(
+                f"SELECT snapshot_id FROM {_name(ref)}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).first()
+            return str(row["snapshot_id"]) if row else ""
+        except Exception as exc:
+            raise _iceberg_unavailable(exc, ref)
+    return ""

@@ -56,6 +56,8 @@ def run_resumable(
     out_dir: str,
     dataset_id: Optional[str] = None,
     snapshot_id: str = "",
+    triples_table: Optional[str] = None,
+    lineage_table: Optional[str] = None,
 ) -> Dict[str, int]:
     """One resumable batch: skip done docs, build, write triples +
     lineage parquet.
@@ -66,15 +68,21 @@ def run_resumable(
     foreachBatch retry) re-processes those document groups and
     OVERWRITES the same partitions instead of appending duplicates —
     at-least-once execution, exactly-once table state. On Iceberg the
-    same property comes from a single atomic snapshot commit."""
-    from rdf_generator_spark.plans.pipeline import build_graph
+    same property comes from a single atomic snapshot commit.
 
-    triples_path = os.path.join(out_dir, "triples")
-    lineage_path = os.path.join(out_dir, "lineage")
+    ``triples_table`` / ``lineage_table`` override the default parquet
+    paths under `out_dir` with any tableio reference — pass
+    ``iceberg:cat.db.triples`` to materialize into partitioned Iceberg
+    tables (the north-rule deployment) with no other change."""
+    from rdf_generator_spark.plans.pipeline import build_graph
+    from rdf_generator_spark.sources import tableio
+
+    triples_ref = triples_table or os.path.join(out_dir, "triples")
+    lineage_ref = lineage_table or os.path.join(out_dir, "lineage")
 
     lineage = None
-    if os.path.exists(lineage_path):
-        lineage = spark.read.parquet(lineage_path)
+    if tableio.table_exists(spark, lineage_ref):
+        lineage = tableio.read_table(spark, lineage_ref)
     todo = pending_corpus(corpus, lineage)
     n_docs = todo.select(*DOC).distinct().count()
     if n_docs == 0:
@@ -88,12 +96,7 @@ def run_resumable(
         staging_dir=os.path.join(out_dir, "_staging"),
     )
     triples = res["triples"]
-    (
-        triples.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("repo", "commit")
-        .parquet(triples_path)
-    )
+    tableio.write_table(triples, triples_ref, partition_by=("repo", "commit"))
     wall_ms = int((time.perf_counter() - t0) * 1000)
 
     counts = triples.groupBy(*DOC).agg(F.count(F.lit(1)).alias("n_triples"))
@@ -106,16 +109,8 @@ def run_resumable(
         .withColumn("wall_ms", F.lit(wall_ms))
         .select(*LINEAGE_COLS)
     )
-    (
-        lineage_rows.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("repo", "commit")
-        .parquet(lineage_path)
+    tableio.write_table(
+        lineage_rows, lineage_ref, partition_by=("repo", "commit")
     )
-    # dynamic overwrite REPLACES part files in place; invalidate the
-    # session's shared file-status cache or later same-session reads of
-    # these paths serve stale listings (FAILED_READ_FILE)
-    spark.catalog.refreshByPath(triples_path)
-    spark.catalog.refreshByPath(lineage_path)
-    n_triples = spark.read.parquet(triples_path).count()
+    n_triples = tableio.read_table(spark, triples_ref).count()
     return {"docs": n_docs, "triples": n_triples}

@@ -37,6 +37,14 @@ def main(argv=None) -> int:
     ap.add_argument("--durable-staging", action="store_true",
                     help="stage hub tables to parquet under OUT/_staging "
                          "(survives executor loss) instead of localCheckpoint")
+    ap.add_argument("--snapshot-id", default=None,
+                    help="pin the corpus read to an Iceberg snapshot "
+                         "(requires --corpus iceberg:<table>)")
+    ap.add_argument("--triples-table", default=None,
+                    help="tableio ref for the triples output (e.g. "
+                         "iceberg:cat.db.triples); default parquet under OUT")
+    ap.add_argument("--lineage-table", default=None,
+                    help="tableio ref for the lineage output")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -55,7 +63,11 @@ def main(argv=None) -> int:
 
     ensure_workers_can_import(spark)
 
-    corpus = spark.read.parquet(args.corpus)
+    from rdf_generator_spark.sources.tableio import read_table
+
+    # --corpus takes a parquet path OR iceberg:<catalog.db.table>;
+    # --snapshot-id pins the Iceberg read (north-rule resume semantics)
+    corpus = read_table(spark, args.corpus, snapshot_id=args.snapshot_id)
     t0 = time.perf_counter()
 
     if args.resume and args.validate:
@@ -68,8 +80,15 @@ def main(argv=None) -> int:
     if args.resume:
         from rdf_generator_spark.streaming.lineage import run_resumable
 
-        stats = run_resumable(spark, corpus, args.out, dataset_id=args.dataset_id)
-        triples = spark.read.parquet(os.path.join(args.out, "triples"))
+        stats = run_resumable(
+            spark, corpus, args.out, dataset_id=args.dataset_id,
+            snapshot_id=args.snapshot_id or "",
+            triples_table=args.triples_table,
+            lineage_table=args.lineage_table,
+        )
+        triples = read_table(
+            spark, args.triples_table or os.path.join(args.out, "triples")
+        )
         res = None
     else:
         from rdf_generator_spark.plans.pipeline import build_graph

@@ -157,3 +157,30 @@ def test_dual_species_mint_unified_by_cc(spark):
     assert canon.filter(
         (canon.o.isin(*gone)) & (~canon.lit)
     ).count() == 0
+
+
+def test_tableio_parquet_roundtrip_and_iceberg_gating(spark, tmp_path):
+    """tableio: parquet refs round-trip with idempotent overwrite;
+    iceberg refs fail with an actionable message in jar-less envs;
+    snapshot pinning is rejected for parquet (nothing to pin)."""
+    import pytest
+
+    from rdf_generator_spark.sources import tableio
+
+    ref = str(tmp_path / "t")
+    df = spark.createDataFrame([("r1", "c", 1), ("r2", "c", 2)],
+                               "repo string, commit string, v int")
+    tableio.write_table(df, ref, partition_by=("repo", "commit"))
+    assert tableio.table_exists(spark, ref)
+    # idempotent: same partitions overwritten, not appended
+    tableio.write_table(df, ref, partition_by=("repo", "commit"))
+    assert tableio.read_table(spark, ref).count() == 2
+    assert tableio.current_snapshot_id(spark, ref) == ""
+
+    with pytest.raises(ValueError, match="snapshot"):
+        tableio.read_table(spark, ref, snapshot_id="123")
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        tableio.read_table(spark, "iceberg:cat.db.corpus")
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        tableio.write_table(df, "iceberg:cat.db.triples",
+                            partition_by=("repo",))
