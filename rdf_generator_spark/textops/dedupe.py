@@ -110,15 +110,31 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_k: int = 3,
+    max_doc_freq: int = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold via token-join + count algebra.
 
     Quadratic in co-occurring documents per shingle — use as the verify
-    stage after `minhash_lsh_pairs` candidates at scale, not standalone."""
+    stage after `minhash_lsh_pairs` candidates at scale, not standalone.
+    For standalone use set ``max_doc_freq``: shingles appearing in more
+    than that many documents are dropped BEFORE the self-join, bounding
+    each shingle's pair fan-out at max_doc_freq^2. This makes the
+    intersection count a lower bound (dropped shingles still count
+    toward sizes), so recall near the threshold dips slightly — the
+    standard exactness/scale trade; leave None for the exact verify
+    stage."""
     toks = _shingles(df, id_col, text_col, shingle_k) if shingle_k > 1 else _tokens(
         df, id_col, text_col
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_doc_freq is not None:
+        rare = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("tok")
+        )
+        toks = toks.join(rare, "tok", "left_semi")
     inter = (
         toks.select(F.col("doc_id").alias("d1"), "tok")
         .join(toks.select(F.col("doc_id").alias("d2"), "tok"), "tok")

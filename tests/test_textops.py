@@ -146,3 +146,45 @@ def test_near_dup_groups_end_to_end(spark):
     got = {(r["doc_id"], r["keeper"], r["group_size"]) for r in groups.collect()}
     # docs 1,2,3 form one group with keeper "1"; 4 and 5 are not grouped
     assert got == {("1", "1", 3), ("2", "1", 3), ("3", "1", 3)}
+
+
+def test_jaccard_max_doc_freq_cap(spark):
+    """Standalone-safe Jaccard: a corpus-wide hot shingle is dropped
+    before the self-join; a genuine near-dup pair still verifies."""
+    common = "the quick brown"  # one 3-shingle shared by EVERY doc
+    rows = [(i, f"{common} filler{i} pad{i} end{i}") for i in range(1, 9)]
+    rows += [(100, common + " same same same same"),
+             (101, common + " same same same same")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {
+        (r["d1"], r["d2"])
+        for r in dedupe.jaccard_pairs(
+            df, threshold=0.5, shingle_k=3, max_doc_freq=5
+        ).collect()
+    }
+    assert (100, 101) in capped            # near-dup survives the cap
+    assert all(d1 >= 100 for d1, _ in capped)  # hot shingle created no pairs
+
+
+def test_embedding_neardup_multiband_recall(spark):
+    """Planted scaled copies (cosine exactly 1.0) are recovered with
+    deterministic recall: sign(p.v) is scale-invariant so every band
+    matches; nothing below threshold sneaks in (exact verify)."""
+    import hashlib as _h
+    import struct as _s
+
+    def vec(seed, dim=16):
+        out = []
+        for i in range(dim):
+            b = _h.md5(f"{seed}:{i}".encode()).digest()[:4]
+            out.append(_s.unpack(">i", b)[0] / 2 ** 31)
+        return out
+
+    rows = [(i, vec(i)) for i in range(30)]
+    rows += [(1000 + i, [2.0 * x for x in vec(i)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["d1"], r["d2"])
+        for r in dedupe.embedding_neardup_pairs(df, threshold=0.98).collect()
+    }
+    assert pairs == {(i, 1000 + i) for i in range(10)}
