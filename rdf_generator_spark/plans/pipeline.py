@@ -26,9 +26,11 @@ Input contract: one character-JSON and one NEXUS document per
 `(repo, commit)` group (the reference's config points at exactly one of
 each). Multiple JSON files in one group would make character order —
 and thus the matrix column mapping — ambiguous. `build_graph` fails
-loudly on offending groups (check_input_contract=True, default);
-`sources.corpus.shard_multi_matrix_groups` rewrites such corpora into
-one group per matrix automatically (json/nexus paired by path stem).
+loudly on offending groups (check_input_contract=True, default; the
+check rides the materialized characters table, so it is skipped in
+materialize=False diagnostic mode); `sources.corpus.
+shard_multi_matrix_groups` rewrites such corpora into one group per
+matrix automatically (json/nexus paired by path stem).
 """
 
 from __future__ import annotations
@@ -145,34 +147,20 @@ def build_graph(
     change, not a code change). `run_resumable` stages under its output
     directory automatically.
     """
-    if check_input_contract:
-        # one char-JSON per (repo, commit): a violated contract would
-        # silently interleave two matrices' character orders. Key-only
-        # aggregate over the json subset; disable for re-validated
-        # corpora if even that scan matters.
-        from rdf_generator_spark.sources.corpus import multi_matrix_groups
-
-        bad = multi_matrix_groups(corpus).limit(10).collect()
-        if bad:
-            groups = ", ".join(
-                f"{r['repo']}@{r['commit'][:8]} ({r['n_json']} JSONs)"
-                for r in bad
-            )
-            raise ValueError(
-                "input contract violated — multiple character-JSON files "
-                f"in one (repo, commit) group: {groups}. Pre-process the "
-                "corpus with sources.corpus.shard_multi_matrix_groups "
-                "(pairs json/nexus by path stem, one group per matrix) "
-                "or split the groups yourself."
-            )
-
     if dim_broadcast is None:
-        # limit().count() short-circuits after N+1 rows, so this probe
-        # costs O(N) regardless of corpus size; file count bounds
-        # document count.
+        # Zero-job probe: file-backed corpora (parquet/Iceberg — every
+        # real deployment) expose their file list from the already-built
+        # file index, and file count bounds document count. An in-memory
+        # corpus (tests/bench createDataFrame) is by construction small
+        # enough to broadcast — and scanning it would re-ship the whole
+        # pickled relation through Python workers, which measurably
+        # dominates the bench (extra ~25 s/job at 24 giant datasets).
+        try:
+            files = corpus.inputFiles()
+        except Exception:
+            files = []
         dim_broadcast = (
-            corpus.limit(_DIM_BROADCAST_FILE_LIMIT + 1).count()
-            <= _DIM_BROADCAST_FILE_LIMIT
+            len(files) <= _DIM_BROADCAST_FILE_LIMIT if files else True
         )
     bhint = F.broadcast if dim_broadcast else (lambda d: d)
 
@@ -575,6 +563,29 @@ def build_graph(
     mat = _materializer(spark, staging_dir)
     if materialize:
         charsx = mat(charsx, "charsx")
+        # Contract check rides the (cheap, already-materialized) parsed
+        # characters table instead of re-scanning the raw corpus: a
+        # second char-JSON in a group shows up as a second distinct
+        # `path` here. Raises before any result is returned.
+        if check_input_contract:
+            bad = (
+                charsx.select(*DOC, "path").distinct()
+                .groupBy(*DOC).count().filter(F.col("count") > 1)
+                .limit(10).collect()
+            )
+            if bad:
+                groups = ", ".join(
+                    f"{r['repo']}@{r['commit'][:8]} ({r['count']} JSONs)"
+                    for r in bad
+                )
+                raise ValueError(
+                    "input contract violated — multiple character-JSON "
+                    f"files in one (repo, commit) group: {groups}. "
+                    "Pre-process the corpus with "
+                    "sources.corpus.shard_multi_matrix_groups (pairs "
+                    "json/nexus by path stem, one group per matrix) or "
+                    "split the groups yourself."
+                )
         states_x = mat(states_x, "states_x")
         cells_j = mat(cells_j, "cells_j")
         visits = mat(visits, "visits")
@@ -587,7 +598,14 @@ def build_graph(
 
 def _materializer(spark, staging_dir: Optional[str]):
     """Hub-table materializer: parquet staging when `staging_dir` is
-    set (cluster-durable), localCheckpoint otherwise (single-box)."""
+    set (cluster-durable), localCheckpoint otherwise (single-box).
+
+    Eager localCheckpoint: the logical plan is truncated to an RDD scan
+    (which is what keeps Catalyst's plan size bounded) and each hub
+    materializes as its own job. A lazy variant (eager=False) folds the
+    materialization into downstream jobs but measured no improvement on
+    this box (fixed cost is Catalyst planning, not job count).
+    """
     if staging_dir is None:
         return lambda df, name: df.localCheckpoint(eager=True)
 

@@ -301,15 +301,9 @@ def assemble_document(blocks_rows: Iterable) -> str:
     return "".join(parts)
 
 
-def write_species_files(result: dict, out_dir: str) -> int:
-    """S2 (main.py:657-672): one Turtle file per species, named by the
-    normalized taxon label. The reference uses rdflib's default
-    serializer here (not the sectioned writer); species graphs are
-    ~8 triples, so blocks render driver-side after a distributed join
-    of the species part against the per-taxon node table."""
-    import os
-
-    os.makedirs(out_dir, exist_ok=True)
+def _species_joined(result: dict) -> DataFrame:
+    """(taxon_label, s, p, o, lit, dt): each species' own triples —
+    the species part joined against that taxon's two sp- nodes."""
     taxa = result["taxa"].select(
         F.col("repo").alias("__tr"), F.col("commit").alias("__tc"),
         F.col("taxon_label").alias("__tl"), "sp_uri", "sp_inst",
@@ -319,32 +313,75 @@ def write_species_files(result: dict, out_dir: str) -> int:
     ).unionByName(
         taxa.select("__tr", "__tc", "__tl", F.col("sp_inst").alias("__node"))
     ).distinct()
-    joined = result["species_part"].join(
+    return result["species_part"].join(
         nodes,
         (F.col("repo") == F.col("__tr"))
         & (F.col("commit") == F.col("__tc"))
         & (F.col("s") == F.col("__node")),
     ).select(F.col("__tl").alias("taxon_label"), "s", "p", "o", "lit", "dt")
+
+
+def _species_ttl_text(rows) -> str:
+    """Render one species' ~8-triple graph (rdflib-default-style,
+    main.py:657-672)."""
+    by_subj: dict = {}
+    for r in rows:
+        by_subj.setdefault(r["s"], []).append(r)
+    parts = [_PREFIX_BLOCK + "\n\n"]
+    for s in sorted(by_subj):
+        pos = sorted(
+            {(render_iri(r["p"]), render_node(r["o"], bool(r["lit"]), r["dt"]))
+             for r in by_subj[s]}
+        )
+        parts.append(render_iri(s))
+        for i, (pt, ot) in enumerate(pos):
+            sep = " .\n\n" if i == len(pos) - 1 else " ;\n    "
+            parts.append(f" {pt} {ot}{sep}" if i == 0 else f"{pt} {ot}{sep}")
+    return "".join(parts)
+
+
+def write_species_files(result: dict, out_dir: str) -> int:
+    """S2 (main.py:657-672): one Turtle file per species, named by the
+    normalized taxon label. Driver-side collect — fine at reference
+    parity (tens of species); use `write_species_files_distributed`
+    for corpora with many species."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
     by_taxon: dict = {}
-    for r in joined.collect():
+    for r in _species_joined(result).collect():
         by_taxon.setdefault(r["taxon_label"], []).append(r)
     for taxon_label, rows in by_taxon.items():
         safe = taxon_label.replace("/", "_")
-        by_subj: dict = {}
-        for r in rows:
-            by_subj.setdefault(r["s"], []).append(r)
         with open(os.path.join(out_dir, f"{safe}.ttl"), "w", encoding="utf-8") as f:
-            f.write(_PREFIX_BLOCK + "\n\n")
-            for s in sorted(by_subj):
-                pos = sorted(
-                    {(render_iri(r["p"]), render_node(r["o"], bool(r["lit"]), r["dt"]))
-                     for r in by_subj[s]}
-                )
-                f.write(render_iri(s))
-                for i, (pt, ot) in enumerate(pos):
-                    sep = " .\n\n" if i == len(pos) - 1 else " ;\n    "
-                    f.write(f" {pt} {ot}{sep}" if i == 0 else f"{pt} {ot}{sep}")
+            f.write(_species_ttl_text(rows))
     return len(by_taxon)
+
+
+def write_species_files_distributed(result: dict, out_dir: str) -> int:
+    """Distributed S2: the same per-species files, written executor-side.
+
+    Repartition by taxon_label so each task holds whole species, render
+    with the same code path, write to the (shared at cluster scale)
+    filesystem from the executors — no driver collect, no per-species
+    driver loop. Returns the number of files written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    joined = _species_joined(result).repartition("taxon_label")
+
+    def write_part(rows):
+        by_taxon: dict = {}
+        for r in rows:
+            by_taxon.setdefault(r["taxon_label"], []).append(r)
+        for taxon_label, trows in by_taxon.items():
+            safe = taxon_label.replace("/", "_")
+            path = os.path.join(out_dir, f"{safe}.ttl")
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(_species_ttl_text(trows))
+        yield len(by_taxon)
+
+    return joined.rdd.mapPartitions(write_part).sum()
 
 
 def write_turtle_shards(
