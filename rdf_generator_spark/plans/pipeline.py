@@ -55,6 +55,7 @@ from rdf_generator_spark.operators.graph_ops import (
     dedup_triples,
     prune_unreferenced,
 )
+from rdf_generator_spark.operators.windows import seq_number
 from rdf_generator_spark.plans.base_scaffold import base_triples
 from rdf_generator_spark.plans.emit import emit, t, tl, union_emissions, when_t
 from rdf_generator_spark.sources import parsers
@@ -130,6 +131,7 @@ def build_graph(
     staging_dir: Optional[str] = None,
     fuzzy_link_threshold: Optional[float] = None,
     check_input_contract: bool = True,
+    counter_buckets: Optional[int] = None,
 ) -> Dict[str, DataFrame]:
     """Run the full pipeline; returns named DataFrames.
 
@@ -146,6 +148,15 @@ def build_graph(
     table (swap the write/read pair for a table identifier — a config
     change, not a code change). `run_resumable` stages under its output
     directory automatically.
+
+    ``counter_buckets``: the sequential :id-N counters default to one
+    window per document — correct everywhere, but a giant matrix then
+    sorts in a single task. Set a bucket width (e.g. 8 characters per
+    bucket) to switch to the two-phase numbering in
+    operators/windows.py: identical output (golden-tested), bucket-
+    parallel execution. Worth it only when single documents are large
+    enough to straggle; at small per-document sizes the extra
+    aggregation+join rounds cost more than they save.
     """
     if dim_broadcast is None:
         # Zero-job probe: file-backed corpora (parquet/Iceberg — every
@@ -163,6 +174,17 @@ def build_graph(
             len(files) <= _DIM_BROADCAST_FILE_LIMIT if files else True
         )
     bhint = F.broadcast if dim_broadcast else (lambda d: d)
+
+    def _seq(df, order_cols, out):
+        """Per-document sequential numbering; two-phase when
+        counter_buckets is set (giant-document parallelism)."""
+        if counter_buckets:
+            return seq_number(
+                df, DOC, order_cols,
+                F.floor(F.col(order_cols[0]) / counter_buckets), out=out,
+            )
+        w = Window.partitionBy(*DOC).orderBy(*order_cols)
+        return df.withColumn(out, F.row_number().over(w))
 
     chars_raw = parsers.parse_char_docs(corpus)
     cells = parsers.parse_nexus_docs(corpus)
@@ -343,12 +365,19 @@ def build_graph(
             F.when(F.col("neg_resolved"), kb_iri("comp", F.col("resolved_uri"))),
         )
     )
-    w_doc_state = Window.partitionBy(*DOC).orderBy("char_pos", "state_idx")
-    w_doc = Window.partitionBy(*DOC)
+    # A2 counters (single per-document window by default; two-phase via
+    # counter_buckets — see build_graph docstring)
+    st = _seq(st, ["char_pos", "state_idx"], "__rn")
+    if counter_buckets:
+        st = st.join(
+            st.groupBy(*DOC).agg(F.count(F.lit(1)).alias("__n_states")), DOC
+        )
+    else:
+        st = st.withColumn(
+            "__n_states", F.count(F.lit(1)).over(Window.partitionBy(*DOC))
+        )
     st = (
-        st.withColumn("__rn", F.row_number().over(w_doc_state))
-        .withColumn("__n_states", F.count(F.lit(1)).over(w_doc))
-        .withColumn(
+        st.withColumn(
             "sta_prefix",
             F.when(F.col("labelN") == "", F.lit("state")).otherwise(F.col("labelN")),
         )
@@ -388,11 +417,8 @@ def build_graph(
                            kb_iri("cell", F.concat(F.col("taxon"), F.lit("_"), F.col("char_index"))))
         .withColumn("norm_taxon", norm_taxon_label(F.col("taxon")))
         .withColumn("state_index", strip_col(F.col("symbol")).try_cast("int"))
-        .withColumn(
-            "cell_n",
-            F.row_number().over(Window.partitionBy(*DOC).orderBy("char_pos", "taxon_pos")),
-        )
     )
+    cells_j = _seq(cells_j, ["char_pos", "taxon_pos"], "cell_n")
 
     variants = F.when(
         F.col("dup_for_sex"),
@@ -549,8 +575,7 @@ def build_graph(
         ),
     )
 
-    w_visit = Window.partitionBy(*DOC).orderBy("char_pos", "taxon_pos", "vord")
-    visits = visits.withColumn("phe_n", F.row_number().over(w_visit))
+    visits = _seq(visits, ["char_pos", "taxon_pos", "vord"], "phe_n")
 
     if not assemble:
         # diagnostic mode: hub tables with full (un-truncated) lineage,
@@ -592,7 +617,7 @@ def build_graph(
 
     return _assemble(
         spark, corpus, charsx, states_x, cells_j, visits, species, cells, meta,
-        materialize, bhint, mat,
+        materialize, bhint, mat, _seq,
     )
 
 
@@ -620,10 +645,14 @@ def _materializer(spark, staging_dir: Optional[str]):
 
 
 def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, meta,
-              materialize=True, bhint=F.broadcast, mat=None):
+              materialize=True, bhint=F.broadcast, mat=None, seq=None):
     """Emit all triple families, tag parts, and build the final graph."""
     if mat is None:
         mat = lambda df, name: df.localCheckpoint(eager=True)  # noqa: E731
+    if seq is None:
+        def seq(df, order_cols, out):
+            w = Window.partitionBy(*DOC).orderBy(*order_cols)
+            return df.withColumn(out, F.row_number().over(w))
     NI = T.OWL_NAMED_INDIVIDUAL
 
     # -- base part (constant scaffold per document) -----------------------
@@ -793,15 +822,17 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         t("phe_iri", T.PHB_HAS_ENTITY, F.col("lc.iri")),
     )
 
-    # first-visit sequential labels (A1/A2) for org / loc / var entities
+    # first-visit sequential labels (A1/A2) for org / loc / var entities.
+    # The per-entity first-visit window partitions by the entity IRI
+    # (fine-grained); the per-document rank goes through `seq` (two-
+    # phase when counter_buckets is set).
     def first_visit_labels(df, iri_col, order_cols, prefix_col, fallback):
         w_first = Window.partitionBy(*DOC, iri_col).orderBy(*order_cols)
-        w_rank = Window.partitionBy(*DOC).orderBy(*order_cols)
         firsts = (
             df.withColumn("__rn", F.row_number().over(w_first))
             .filter(F.col("__rn") == 1)
-            .withColumn("__n", F.row_number().over(w_rank))
         )
+        firsts = seq(firsts, list(order_cols), "__n")
         prefix = F.when(
             prefix_col.isNull(), F.lit(fallback)
         ).otherwise(strip_col(prefix_col))

@@ -54,3 +54,26 @@ def test_extract_revision_source(spark):
     got = _col_eval(spark, N.extract_revision_source_col, vals)
     for v, g in zip(vals, got):
         assert g == N.py_extract_revision_source(v), (v, g)
+
+
+def test_seq_number_matches_global_window(spark):
+    """Two-phase sequential numbering == the single global window, on
+    ties, skew (one giant group), and multiple partitions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from rdf_generator_spark.operators.windows import seq_number
+
+    rows = []
+    for d in ["d1", "d2"]:
+        n = 200 if d == "d1" else 7  # skewed partition sizes
+        for i in range(n):
+            rows.append((d, i % 13, i // 13, i))
+    df = spark.createDataFrame(rows, "doc string, a int, b int, uid int")
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("doc").orderBy("a", "b", "uid"))
+    )
+    got = seq_number(df, ["doc"], ["a", "b", "uid"], F.floor(F.col("a") / 3))
+    w = {(r["doc"], r["uid"]): r["rn"] for r in want.collect()}
+    g = {(r["doc"], r["uid"]): r["rn"] for r in got.collect()}
+    assert g == w

@@ -97,6 +97,16 @@ def test_durable_staging_is_golden_equal(spark, oracle, tmp_path):
     assert got == want, _diff_report(got, want)
 
 
+def test_two_phase_counters_are_golden_equal(spark, oracle):
+    """counter_buckets switches the :id-N numbering to the bucket-
+    parallel two-phase form (operators/windows.py); output must be
+    identical — the counters are the most order-sensitive output."""
+    res = build_graph(spark, golden_corpus_df(spark), counter_buckets=3)
+    got = _collect(res["triples"])
+    want = oracle["final"].triples()
+    assert got == want, _diff_report(got, want)
+
+
 def test_shuffle_join_fallback_is_golden_equal(spark, oracle):
     """Past the document-count gate the dimension joins drop their
     broadcast hints (many-document corpora); output must be identical."""
