@@ -958,3 +958,84 @@ ORACLES["kg_pipeline_synth"] = (
     + ", ".join(f"('{r}', {n})" for r, n in _KG_SYNTH_PINNED)
     + ") AS t(repo, n_triples)"
 )
+
+
+def text_pii_redact(spark, sf_dir):
+    """PII scrub over documents with planted emails/IPs/phones (the
+    synthetic corpus has none, so five docs get deterministic PII
+    appended on BOTH sides of the compare)."""
+    from rdf_generator_spark.textops.analysis import redact_pii
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    planted = F.when(
+        F.col("doc_id") < 5,
+        F.concat(F.col("text"),
+                 F.lit(" contact a.b-c_1@ex-ample.org or +4915112345678 "
+                       "at 10.0.0.1 now")),
+    ).otherwise(F.col("text"))
+    return redact_pii(d.select("doc_id", planted.alias("text")))
+
+
+ORACLES["text_pii_redact"] = """
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id < 5
+                    THEN text || ' contact a.b-c_1@ex-ample.org or '
+                         || '+4915112345678 at 10.0.0.1 now'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+          AS n_email,
+        CAST(len(regexp_extract_all(text,
+            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT)
+          AS n_ipv4,
+        CAST(len(regexp_extract_all(text, '\\+[0-9]{7,15}\\b')) AS INT)
+          AS n_phone,
+        regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+            '[IPV4]', 'g'),
+            '\\+[0-9]{7,15}\\b', '[PHONE]', 'g') AS redacted_text
+    FROM d
+"""
+
+
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs 0 and 1 are the 'benchmark'
+    (full 13-gram overlap with themselves), so the survivor set is
+    exactly the other doc_ids < 100 that share no 13-gram."""
+    from rdf_generator_spark.textops.analysis import decontaminate
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    bench = d.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return decontaminate(d, bench, n=13).select("doc_id")
+
+
+ORACLES["text_decontaminate"] = """
+    WITH d AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS ts
+        FROM documents WHERE doc_id < 100
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            range(0, greatest(len(ts) - 13, 0) + 1),
+            i -> array_to_string(ts[i+1:i+13], ' '))) AS tok
+        FROM d WHERE len(ts) >= 13
+    ),
+    bad AS (
+        SELECT DISTINCT a.doc_id
+        FROM sh a JOIN sh b ON a.tok = b.tok AND b.doc_id < 2
+    )
+    SELECT doc_id FROM d
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+QUERIES["text_pii_redact"] = text_pii_redact
+QUERIES["text_decontaminate"] = text_decontaminate

@@ -126,3 +126,85 @@ def fingerprint(
         id_col, "content_fp", F.size(winnowed).alias("n_winnowed"),
         F.md5(F.array_join(F.transform(winnowed, lambda x: x.cast("string")), ",")).alias("winnow_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation extras: PII redaction and benchmark decontamination.
+# ---------------------------------------------------------------------------
+
+# Patterns deliberately avoid lookarounds so Java regex (Spark) and RE2
+# (DuckDB oracle) agree byte-for-byte.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\+[0-9]{7,15}\b"),
+]
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / international phone numbers to typed
+    placeholders and count matches per category — the standard pre-
+    training scrub. Pure regexp column algebra (one narrow pass, no
+    shuffle); patterns are lookaround-free so they behave identically
+    in engines using RE2."""
+    out = df
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("int").alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
+    return out.select(
+        F.col(id_col), *counts, redacted.alias("redacted_text")
+    )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, bench_id, n_shared) for every
+    document sharing at least one n-gram shingle with a benchmark row
+    (the standard 13-gram test-set-leak check).
+
+    Scale shape: shingles of the (small) benchmark side broadcast; the
+    corpus side streams through one narrow shingle pass and the join —
+    pair fan-out is bounded by benchmark shingles, never corpus^2."""
+    from rdf_generator_spark.textops.dedupe import _shingles
+
+    d = _shingles(docs, id_col, text_col, n)
+    b = _shingles(benchmark, bench_id_col, bench_text_col, n).select(
+        F.col("doc_id").alias("bench_id"), "tok"
+    )
+    return (
+        d.join(F.broadcast(b), "tok")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop documents sharing >= min_shared n-gram shingles with the
+    benchmark (left-anti join on the contamination pairs)."""
+    bad = (
+        contamination_pairs(docs, benchmark, n, id_col, text_col)
+        .groupBy("doc_id")
+        .agg(F.sum("n_shared").alias("t"))
+        .filter(F.col("t") >= min_shared)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(bad, id_col, "left_anti")

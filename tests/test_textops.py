@@ -188,3 +188,39 @@ def test_embedding_neardup_multiband_recall(spark):
         for r in dedupe.embedding_neardup_pairs(df, threshold=0.98).collect()
     }
     assert pairs == {(i, 1000 + i) for i in range(10)}
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@corp.example.com or +4915112345678"),
+         (2, "server at 10.0.0.1 and 192.168.1.255, version 1.2"),
+         (3, "clean text, no pii")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in analysis.redact_pii(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert "[EMAIL]" in got[1]["redacted_text"]
+    assert "[PHONE]" in got[1]["redacted_text"]
+    assert "jo.doe" not in got[1]["redacted_text"]
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["redacted_text"].count("[IPV4]") == 2
+    assert "version 1.2" in got[2]["redacted_text"]  # not an IPv4
+    assert got[3]["redacted_text"] == "clean text, no pii"
+
+
+def test_decontaminate(spark):
+    words = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, words + " tail one"),            # contains the benchmark 13-gram
+         (2, "totally different words " * 5),
+         # w9 sits inside every 13-token window of a 20-token text,
+         # so changing it breaks every shared shingle
+         (3, words.replace("w9", "q9"))],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, words)], ["bench_id", "text"])
+    pairs = {(r["doc_id"], r["bench_id"])
+             for r in analysis.contamination_pairs(docs, bench, n=13).collect()}
+    assert (1, 100) in pairs and all(d != 2 for d, _ in pairs)
+    kept = {r["doc_id"] for r in analysis.decontaminate(docs, bench, n=13).collect()}
+    assert kept == {2, 3}
