@@ -96,3 +96,22 @@ def test_kg_join_shuffle_fallback_past_gate(spark):
     )
     plan = plan_of(res["cells"])
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_ann_topk_plans_as_take_ordered(spark):
+    """The registry ann_cosine_topk must compile to TakeOrderedAndProject
+    (per-partition top-k merged on the driver), not a single-partition
+    global window."""
+    plan = plan_of(Q.QUERIES["ann_cosine_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lsh_ops_have_no_cartesian_product(spark):
+    """Every near-dup/ANN candidate generator must pair via bucketed
+    equi-joins — an all-pairs CartesianProduct would be the 100-TB
+    killer."""
+    for name in ["minhash_band_pairs", "dedup_simhash_pairs",
+                 "dedup_embedding_neardup", "text_decontaminate"]:
+        plan = plan_of(Q.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
