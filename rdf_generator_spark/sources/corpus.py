@@ -56,7 +56,17 @@ def content_commit(contents: Iterable[str]) -> str:
 
 
 def corpus_df(spark: SparkSession, rows: List[tuple]) -> DataFrame:
-    return spark.createDataFrame(rows, CORPUS_SCHEMA)
+    """In-memory corpus (tests/bench; real corpora come from
+    tableio.read_table). Slices capped at len(rows): a handful of
+    documents spread over 32 near-empty slices costs a Python-worker
+    spin-up and task round per slice in EVERY downstream stage
+    (measured ~20% of the tiny-corpus fixed cost). Never MORE slices
+    than defaultParallelism — an interleaved A/B at bench scale showed
+    extra slices cost ~40% wall (more per-stage task overhead, no
+    added parallelism on the box)."""
+    n_slices = max(1, min(len(rows), spark.sparkContext.defaultParallelism))
+    rdd = spark.sparkContext.parallelize(rows, n_slices)
+    return spark.createDataFrame(rdd, CORPUS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
