@@ -1039,3 +1039,38 @@ ORACLES["text_decontaminate"] = """
 
 QUERIES["text_pii_redact"] = text_pii_redact
 QUERIES["text_decontaminate"] = text_decontaminate
+
+
+def multimodal_frame_sampling(spark, sf_dir):
+    """Video frame-sampling plumbing (timestamp fan-out + per-frame
+    digest) on deterministic synthetic media rows; the decode itself is
+    the documented codec stub."""
+    from rdf_generator_spark.textops.multimodal import MEDIA_SCHEMA, sample_frames
+
+    ensure_workers_can_import(spark)
+    rows = [
+        (i, "video", bytearray(f"payload-{i}".encode() * (i + 1)),
+         ("video/fake", 64, 64, 1000 * (i + 1)))
+        for i in range(8)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return sample_frames(media, every_ms=700).select(
+        "media_id", "ts_ms", "frame_sha256"
+    )
+
+
+ORACLES["multimodal_frame_sampling"] = """
+    WITH m AS (
+        SELECT i AS media_id,
+               repeat('payload-' || CAST(i AS VARCHAR), CAST(i+1 AS INT)) AS p,
+               1000 * (i + 1) AS dur
+        FROM range(8) t(i)
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(unnest(range(0, greatest(dur, 1), 700)) AS INT) AS ts_ms,
+           unnest(list_transform(range(0, greatest(dur, 1), 700),
+               ts -> sha256(p || ':' || CAST(ts AS VARCHAR)))) AS frame_sha256
+    FROM m
+"""
+
+QUERIES["multimodal_frame_sampling"] = multimodal_frame_sampling

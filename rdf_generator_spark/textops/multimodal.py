@@ -125,12 +125,14 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
                 if not fake:
                     raise NotImplementedError("frame decode requires ffmpeg")
                 raw = bytes(payload) if payload is not None else b""
+                # ascii-delimited timestamp (not packed bytes) so the
+                # deterministic fake is reproducible in any engine
                 rows.append(
                     {
                         "media_id": mid,
                         "ts_ms": int(ts),
                         "frame_sha256": hashlib.sha256(
-                            raw + int(ts).to_bytes(8, "big")
+                            raw + f":{int(ts)}".encode()
                         ).hexdigest(),
                     }
                 )

@@ -115,3 +115,14 @@ def test_lsh_ops_have_no_cartesian_product(spark):
         plan = plan_of(Q.QUERIES[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_final_graph_plan_is_jvm_only(spark):
+    """Past the hub materialization, the entire graph algebra (dedup,
+    prune, label priority, canonicalization inputs) is pure JVM column
+    work — no Python stage anywhere in the final plan."""
+    res = build_graph(spark, golden_corpus_df(spark))
+    for key in ["triples", "matrix_pruned", "char_combined"]:
+        plan = plan_of(res[key])
+        assert "BatchEvalPython" not in plan, key
+        assert "MapInPandas" not in plan, key
