@@ -73,6 +73,19 @@ def _golden_parts(spark: SparkSession) -> Dict[str, List[tuple]]:
         _GOLDEN["matrix"] = rows(res["matrix_pruned"])
         _GOLDEN["species"] = rows(res["species_part"])
         _GOLDEN["char"] = rows(res["char_combined"])
+
+        # V3/S4: the 23-scope conformance report, reduced to
+        # (scope, conforms, n_violations)
+        from rdf_generator_spark.validation.scopes import validation_report
+
+        violations, conformance = validation_report(res)
+        vc = {}
+        for r in violations.select("scope").collect():
+            vc[r["scope"]] = vc.get(r["scope"], 0) + 1
+        _GOLDEN["scopes"] = sorted(
+            (r["scope"], bool(r["conforms"]), vc.get(r["scope"], 0))
+            for r in conformance.select("scope", "conforms").collect()
+        )
     return _GOLDEN
 
 
@@ -1219,3 +1232,29 @@ if O1O2_PINS:
 for _q in [v2_rdfs_closure, cc_canonical_map, lineage_resume_skip,
            o1_o2_turtle_ordering, src7_shacl_shapes]:
     QUERIES[_q.__name__] = _q
+
+
+def v3_validation_scopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3/S4: the 23-scope validation report on the golden corpus —
+    (scope, conforms, n_violations). Pinned oracle captured from a
+    validator run whose semantics are mutation-tested against the
+    reference's pySHACL behavior in tests/test_validation.py (the
+    matrix scope legitimately fails TUShape, matching the reference)."""
+    rows = _golden_parts(spark)["scopes"]
+    return spark.createDataFrame(
+        rows, "scope string, conforms boolean, n_violations int"
+    )
+
+
+QUERIES["v3_validation_scopes"] = v3_validation_scopes
+
+
+# V3/S4 pinned oracle: captured from a verified validator run (the
+# validator's semantics — incl. the deliberate matrix-scope TUShape
+# failure matching pySHACL — are mutation-tested in
+# tests/test_validation.py; refsim has no validator to derive from).
+ORACLES["v3_validation_scopes"] = (
+    "SELECT scope, conforms, CAST(n_violations AS INT) AS n_violations "
+    "FROM (VALUES ('CDAO Matrix', FALSE, 10), ('Char_ID C1', TRUE, 0), ('Char_ID C10', TRUE, 0), ('Char_ID C2', TRUE, 0), ('Char_ID C3', TRUE, 0), ('Char_ID C4', TRUE, 0), ('Char_ID C5', TRUE, 0), ('Char_ID C6', TRUE, 0), ('Char_ID C7', TRUE, 0), ('Char_ID C8', TRUE, 0), ('Char_ID C9', TRUE, 0), ('Final Combined Graph', TRUE, 0), ('Species Combined', TRUE, 0), ('TU Ancyloscelis_apiformis', TRUE, 0), ('TU Anthidium_porterae', TRUE, 0), ('TU Arhysoceble_picta', TRUE, 0), ('TU Augochlora_pura', TRUE, 0), ('TU Coelioxys_octodentata', TRUE, 0), ('TU Diadasina_distincta', TRUE, 0), ('TU Euglossa_cordata', TRUE, 0), ('TU Halictus_rubicundus', TRUE, 0), ('TU Meganomia_gigas', TRUE, 0), ('TU Partamona_cupira', TRUE, 0)) "
+    "AS t(scope, conforms, n_violations)"
+)
