@@ -48,7 +48,14 @@ def norm_seed_component(c: Column) -> Column:
 
 def parse_char_num_col(c: Column) -> Column:
     """parse_char_num (main.py:115-135): 'C7' -> 7; digits-only fallback;
-    default 10**9. Never null."""
+    default 10**9. Never null.
+
+    Documented deviation (outside the data model — Char_IDs are ASCII
+    'C<digits>'): for non-ASCII Unicode numerals the reference's
+    str.isdigit()/int() fallback behaves inconsistently ('¹' ->
+    default, '١٢٣' -> 123); the Column path uniformly extracts ASCII
+    digits, so '0¹' -> 0 here vs default there. Property-tested over
+    the ASCII domain (tests/test_properties.py)."""
     s = strip_col(c.cast("string"))
     no_c = F.when(s.rlike(r"^[Cc]"), F.substring(s, 2, 2147483640)).otherwise(s)
     direct = strip_col(no_c).try_cast("int")
@@ -94,8 +101,14 @@ def py_parse_char_num(char_id: Any) -> int:
             s = s[1:]
         return int(s)
     except Exception:
-        digits = "".join(ch for ch in str(char_id) if ch.isdigit())
-        return int(digits) if digits else DEFAULT_CHAR_SORT_NUM
+        # the reference guards the digits fallback too ("never raises",
+        # main.py:115-135): str.isdigit() accepts Unicode digits like
+        # '¹' that int() rejects
+        try:
+            digits = "".join(ch for ch in str(char_id) if ch.isdigit())
+            return int(digits) if digits else DEFAULT_CHAR_SORT_NUM
+        except Exception:
+            return DEFAULT_CHAR_SORT_NUM
 
 
 def py_norm_species_uri(uri: Optional[str], fallback_label: str) -> str:
