@@ -470,11 +470,15 @@ def text_quality_score(spark, sf_dir):
 
 
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64-based; no DuckDB twin)."""
+    """SimHash near-dup pairs with the md5 token-hash variant so the
+    full fingerprint + pigeonhole-band algebra has a DuckDB twin (the
+    default xxhash64 variant is pytest-covered). The oracle brute-forces
+    all pairs; the pigeonhole guarantee (4 bands > 3 flips) makes the
+    banded Spark plan exactly equal to the brute-force answer."""
     from rdf_generator_spark.textops.dedupe import simhash, simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash(d), max_hamming=3)
+    return simhash_near_pairs(simhash(d, token_hash="md5"), max_hamming=3)
 
 
 def dedup_embedding_neardup(spark, sf_dir):
@@ -894,6 +898,43 @@ ORACLES: Dict[str, str] = {
                CAST(length(repeat('payload-' || CAST(i AS VARCHAR),
                                   CAST(i + 1 AS INT))) AS INT) AS n_bytes
         FROM range(24) t(i)
+    """,
+    # simhash md5 mode: per token t, bit b of the fingerprint input is
+    # bit (b%4) of hex nibble b//4 of md5(t) — reproduced here verbatim;
+    # hamming distance is permutation-invariant so the bit->position
+    # mapping only has to agree per (token, b), which it does by
+    # construction. Brute-force all pairs (the banded Spark plan is
+    # exactly equal by the pigeonhole guarantee: 4 bands > 3 flips).
+    "dedup_simhash_pairs": """
+        WITH toks AS (
+            SELECT DISTINCT doc_id, t.tok
+            FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS t(tok)
+            WHERE t.tok <> ''
+        ),
+        bits AS (
+            SELECT doc_id, bb.b,
+                   SUM(CASE WHEN (((strpos('0123456789abcdef',
+                                           substr(md5(tok), CAST(bb.b//4 + 1 AS INT), 1)) - 1)
+                                   >> (bb.b % 4)) & 1) = 1
+                            THEN 1 ELSE -1 END) AS s
+            FROM toks CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+            GROUP BY doc_id, bb.b
+        ),
+        fp AS (
+            SELECT doc_id,
+                   string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+                              '' ORDER BY b) AS f
+            FROM bits GROUP BY doc_id
+        ),
+        pr AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   len(list_filter(range(64),
+                                   i -> a.f[CAST(i+1 AS INT)] <> b.f[CAST(i+1 AS INT)]))
+                     AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        )
+        SELECT d1, d2, CAST(hamming AS INT) AS hamming
+        FROM pr WHERE hamming <= 3
     """,
     "text_winnow_fingerprint": """
         WITH n AS (

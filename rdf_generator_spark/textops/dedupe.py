@@ -209,19 +209,32 @@ def near_dup_groups(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
+            bits: int = 64, token_hash: str = "xxhash64") -> DataFrame:
     """64-bit SimHash fingerprints, pure SQL.
 
-    Per token: xxhash64 -> for each bit, +1/-1 into the component sum;
-    fingerprint bit b = sign of sum_b. Expressed as an aggregate over a
-    per-token bit array (no UDF); one shuffle on doc_id."""
+    Per token: a 64-bit token hash -> for each bit, +1/-1 into the
+    component sum; fingerprint bit b = sign of sum_b. Expressed as an
+    aggregate over a per-token bit array (no UDF); one shuffle on doc_id.
+
+    ``token_hash``: "xxhash64" (default, fastest — stays in codegen) or
+    "md5" (bit b = bit (b%4) of md5-hex nibble b//4) — the md5 mode
+    exists so a DuckDB twin can reproduce the exact fingerprints
+    (DuckDB lacks xxhash64); same dual-hash pattern as
+    analysis.fingerprint(shingle_hash=)."""
     toks = _tokens(df, id_col, text_col)
-    h = F.xxhash64(F.col("tok"))
+    if token_hash == "md5":
+        hx = F.md5(F.col("tok"))
+
+        def _bit(b):
+            nib = F.conv(F.substring(hx, b // 4 + 1, 1), 16, 10).cast("int")
+            return F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
+
+        bit_of = _bit
+    else:
+        h = F.xxhash64(F.col("tok"))
+        bit_of = lambda b: F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))  # noqa: E731
     bit_vec = F.array(
-        *[
-            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            for b in range(bits)
-        ]
+        *[F.when(bit_of(b) == 1, 1).otherwise(-1) for b in range(bits)]
     )
     per_tok = toks.select("doc_id", bit_vec.alias("bv"))
     summed = per_tok.groupBy("doc_id").agg(
