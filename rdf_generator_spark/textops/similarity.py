@@ -69,16 +69,28 @@ def ivf_build(
     Deterministic init: the n_cells vectors with smallest
     xxhash64(id) (a seeded sample without RNG state); then `iters`
     Lloyd rounds, each one join + one aggregation. Returns
-    (centroids_df(cell, centroid), assignments_df(id, cell))."""
+    (centroids_df(cell, centroid), assignments_df(id, cell)).
+
+    Seeding is distributed top-k: orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition partial top-k merged on the
+    driver) — NOT a global row_number window, which would funnel every
+    vector through one task at 10^9 rows. Cell ids then come from a
+    posexplode over one sorted n_cells-element array (the only
+    collect_list, bounded by n_cells)."""
     seeded = vectors.select(
         F.col(id_col), F.col(vec_col), F.xxhash64(F.col(id_col).cast("string")).alias("hh")
     )
-    w = Window.orderBy("hh", id_col)
+    seeds = seeded.orderBy("hh", id_col).limit(n_cells)
     centroids = (
-        seeded.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_cells)
-        .select((F.col("rn") - 1).alias("cell"),
-                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"))
+        seeds.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("hh"), F.col(id_col).alias("id"),
+                                        F.col(vec_col).alias("v")))
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("cell", "s"))
+        .select("cell",
+                F.transform(F.col("s.v"), lambda x: x.cast("double")).alias("centroid"))
     )
 
     def assign(cents: DataFrame) -> DataFrame:

@@ -117,6 +117,23 @@ def test_lsh_ops_have_no_cartesian_product(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_ivf_seeding_is_distributed_topk(spark):
+    """IVF centroid seeding must compile to TakeOrderedAndProject
+    (per-partition partial top-k), never an unpartitioned row_number
+    window funneling every vector through one task."""
+    from rdf_generator_spark.textops.similarity import ivf_build
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # iters=0 keeps the returned frame as the raw seeding plan (Lloyd
+    # rounds localCheckpoint, which would hide the lineage under a scan)
+    cents, _ = ivf_build(vecs, n_cells=8, iters=0)
+    plan = plan_of(cents)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_final_graph_plan_is_jvm_only(spark):
     """Past the hub materialization, the entire graph algebra (dedup,
     prune, label priority, canonicalization inputs) is pure JVM column
