@@ -17,17 +17,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_members: int | None = None,
+) -> DataFrame:
     """Exact dedup by content hash: one row per distinct content with
-    keeper id (min) and multiplicity. Single hash-aggregate shuffle."""
-    return (
-        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.col(id_col)).alias("keeper"),
-            F.collect_list(F.col(id_col)).alias("members"),
-        )
+    keeper id (min) and multiplicity. Single hash-aggregate shuffle.
+
+    The default output is (content_hash, n, keeper) only — an unbounded
+    `collect_list(members)` would put 10^8 ids into ONE aggregation
+    buffer for a viral duplicate. Pass ``max_members=K`` to add a
+    `members` column holding the K smallest ids per group: ids are
+    ranked with a row_number window partitioned by content_hash (a hot
+    key becomes one sort-based task that spills to disk, never a heap
+    buffer) and only the surviving <=K rows are collected."""
+    from pyspark.sql.window import Window
+
+    hashed = df.select(
+        F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("__id")
     )
+    agg = hashed.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n"), F.min("__id").alias("keeper")
+    )
+    if max_members is None:
+        return agg
+    w = Window.partitionBy("content_hash").orderBy("__id")
+    sample = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_members)
+        .groupBy("content_hash")
+        .agg(F.array_sort(F.collect_list("__id")).alias("members"))
+    )
+    return agg.join(sample, "content_hash")
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

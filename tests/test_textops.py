@@ -25,9 +25,28 @@ def test_exact_dup_groups(spark):
     df = spark.createDataFrame(
         [(1, "a b c"), (2, "a b c"), (3, "x y")], ["doc_id", "text"]
     )
-    got = {r["keeper"]: (r["n"], sorted(r["members"])) for r in
-           dedupe.exact_dup_groups(df).collect()}
-    assert got == {1: (2, [1, 2]), 3: (1, [3])}
+    got = {r["keeper"]: r["n"] for r in dedupe.exact_dup_groups(df).collect()}
+    assert got == {1: 2, 3: 1}
+    with_m = {r["keeper"]: (r["n"], sorted(r["members"])) for r in
+              dedupe.exact_dup_groups(df, max_members=10).collect()}
+    assert with_m == {1: (2, [1, 2]), 3: (1, [3])}
+
+
+def test_exact_dup_groups_hot_key_bounded(spark):
+    """A viral duplicate (10^5 copies of one text) must not blow an
+    aggregation buffer: members are capped at max_members, counts stay
+    exact."""
+    hot = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit("same viral text").alias("text")
+    )
+    cold = spark.createDataFrame([(200_000, "unique text")], ["doc_id", "text"])
+    out = dedupe.exact_dup_groups(
+        hot.unionByName(cold), max_members=16
+    ).collect()
+    by_keeper = {r["keeper"]: r for r in out}
+    assert by_keeper[0]["n"] == 100_000
+    assert by_keeper[0]["members"] == list(range(16))
+    assert by_keeper[200_000]["n"] == 1 and by_keeper[200_000]["members"] == [200_000]
 
 
 def test_minhash_recovers_exact_dups(spark):
