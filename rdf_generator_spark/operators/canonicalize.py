@@ -1,17 +1,23 @@
 """Canonical-IRI union over same-as edges: connected components by
-iterative min-IRI label propagation (SURVEY.md §2 "Graph ops").
+alternating large-star / small-star contraction (SURVEY.md §2
+"Graph ops"; the two-phase star algorithm is the published MapReduce
+CC technique of Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014 — public literature, re-expressed as DataFrame
+algebra).
 
 In the reference, canonicalization is implicit — identical UUID5 seeds
 collapse under set-union (K1-K4) and the dual species-name keys (J3)
 unify mentions. At corpus scale, multiple documents can mint different
 IRIs for the same entity (e.g. the two `sp-` seed variants, F9
-main.py:638 vs 1174); those links become explicit same-as edges and the
-scale-out canonicalizer is small-diameter label propagation:
+main.py:638 vs 1174); those links become explicit same-as edges. Plain
+min-label propagation needs O(diameter) rounds — a 10^4-node chain
+would eat any fixed round budget — while star contraction halves every
+long path each alternation and converges in O(log n) rounds:
 
-    label(n) <- min(label(n), min over neighbors(label(m)))
+    large-star(u): for v in N(u), v > u: emit (v, min(N(u) ∪ {u}))
+    small-star(u): for v in N(u) ∪ {u}, v <= u: emit (v, min(N(u) ∪ {u}))
 
-iterated to fixpoint with per-round lineage truncation — O(log d)
-rounds for component diameter d.
+At the fixpoint the edge set is stars (node -> component minimum).
 """
 
 from __future__ import annotations
@@ -22,61 +28,80 @@ from pyspark.sql import functions as F
 DOC = ["repo", "commit"]
 
 
-def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+def _star_round(e: DataFrame, keys, mode: str) -> DataFrame:
+    """One large- or small-star step: edges(a, b) -> edges(a, b) with
+    a > b, self-loops dropped, set semantics. Two shuffles (min-nbr
+    aggregation + distinct); no windows, no per-component state."""
+    sym = e.select(*keys, F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        e.select(*keys, F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    m = (
+        sym.groupBy(*keys, "node")
+        .agg(F.min("nbr").alias("__mn"))
+        .select(*keys, "node", F.least(F.col("__mn"), F.col("node")).alias("m"))
+    )
+    j = sym.join(m, keys + ["node"])
+    if mode == "large":
+        out = j.filter(F.col("nbr") > F.col("node")).select(
+            *keys, F.col("nbr").alias("a"), F.col("m").alias("b")
+        )
+    else:
+        out = j.filter(F.col("nbr") <= F.col("node")).select(
+            *keys, F.col("nbr").alias("a"), F.col("m").alias("b")
+        ).unionByName(
+            m.select(*keys, F.col("node").alias("a"), F.col("m").alias("b"))
+        )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components(edges: DataFrame, max_iters: int = 30) -> DataFrame:
     """edges(a, b) [+ optional doc keys] -> mapping(node, canon).
 
     `canon` is the lexicographically smallest IRI in each component.
     Works globally (no doc keys) or per-document if doc key columns are
-    present in `edges`.
+    present in `edges`. Alternates large-star / small-star until the
+    edge set stabilizes (O(log n) alternations); each round truncates
+    lineage with an eager localCheckpoint so the plan never grows.
     """
     keys = [c for c in DOC if c in edges.columns]
-    sym = edges.select(*keys, "a", "b").unionByName(
-        edges.select(*keys, F.col("b").alias("a"), F.col("a").alias("b"))
+    e = (
+        edges.select(*keys, "a", "b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        sym.select(*keys, F.col("a").alias("node"), F.col("b").alias("nbr"))
-        .groupBy(*keys, "node")
-        .agg(F.least(F.min("nbr"), F.first("node")).alias("canon"))
-    )
-    # adjacency with self-loops so isolated updates keep own label
-    adj = sym.select(*keys, F.col("a").alias("node"), F.col("b").alias("nbr"))
-    adj = adj.unionByName(
-        adj.select(*keys, "node", F.col("node").alias("nbr")).distinct()
-    ).distinct().localCheckpoint(eager=True)
-
-    labels = labels.localCheckpoint(eager=True)
+    n_e = e.count()
     for _ in range(max_iters):
-        lab_n = labels.select(
-            *[F.col(k).alias(f"__{k}") for k in keys],
-            F.col("node").alias("__nbr"),
-            F.col("canon").alias("__c"),
-        )
-        cond = (F.col("nbr") == F.col("__nbr"))
-        for k in keys:
-            cond = cond & (F.col(k) == F.col(f"__{k}"))
-        new_labels = (
-            adj.join(lab_n, cond)
-            .groupBy(*keys, "node")
-            .agg(F.min("__c").alias("canon"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.join(
-                labels.select(
-                    *[F.col(k).alias(f"__{k}") for k in keys],
-                    F.col("node").alias("__n"),
-                    F.col("canon").alias("__old"),
-                ),
-                [new_labels["node"] == F.col("__n")]
-                + [new_labels[k] == F.col(f"__{k}") for k in keys],
-            )
-            .filter(F.col("canon") != F.col("__old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if n_e == 0:
             break
-    return labels.select(*keys, "node", "canon")
+        e1 = _star_round(e, keys, "large").localCheckpoint(eager=True)
+        e2 = _star_round(e1, keys, "small").localCheckpoint(eager=True)
+        n_e2 = e2.count()
+        if n_e2 == n_e and e2.subtract(e).isEmpty():
+            e = e2
+            break
+        e, n_e = e2, n_e2
+    # fixpoint edges are stars (a=node, b=component root); roots map to
+    # themselves. groupBy-min is a no-op on a true fixpoint and a safe
+    # partial merge if max_iters was ever exhausted mid-contraction.
+    star = (
+        e.select(*keys, F.col("a").alias("node"), F.col("b").alias("canon"))
+        .unionByName(
+            e.select(*keys, F.col("b").alias("node"), F.col("b").alias("canon"))
+        )
+        .groupBy(*keys, "node")
+        .agg(F.min("canon").alias("canon"))
+    )
+    # nodes seen only in self-loops map to themselves (dropped from the
+    # contraction input but still part of the mapping contract)
+    nodes = (
+        edges.select(*keys, F.col("a").alias("node"))
+        .unionByName(edges.select(*keys, F.col("b").alias("node")))
+        .distinct()
+    )
+    return nodes.join(star, keys + ["node"], "left").select(
+        *keys, "node", F.coalesce("canon", F.col("node")).alias("canon")
+    )
 
 
 def species_same_as_edges(triples: DataFrame) -> DataFrame:

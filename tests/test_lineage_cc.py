@@ -69,6 +69,23 @@ def test_connected_components(spark):
     }
 
 
+def test_connected_components_long_path(spark):
+    """Adversarial shape for any propagation scheme: a 10^4-node path
+    graph (diameter 10^4). Star contraction must converge inside the
+    default O(log n) round budget — min-label propagation would need
+    10^4 rounds. Also checks a branchy component and a 2-cycle mixed in."""
+    n = 10_000
+    path = [(f"n{i:05d}", f"n{i+1:05d}") for i in range(n - 1)]
+    extra = [("z2", "z1"), ("z3", "z1"), ("p", "q"), ("q", "p")]
+    edges = spark.createDataFrame(path + extra, ["a", "b"]).repartition(8)
+    got = connected_components(edges).collect()
+    by_node = {r["node"]: r["canon"] for r in got}
+    assert len(by_node) == n + 5
+    assert all(by_node[f"n{i:05d}"] == "n00000" for i in range(n))
+    assert by_node["z1"] == by_node["z2"] == by_node["z3"] == "z1"
+    assert by_node["p"] == by_node["q"] == "p"
+
+
 def test_apply_canonical_mapping(spark):
     tri = spark.createDataFrame(
         [
