@@ -32,10 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (plus the
-    training-data-pipeline operators): relational analogues
-    (rdf_generator_spark.queries) + KG-native golden-corpus entries
-    (rdf_generator_spark.queries_kg)."""
+    """Canonical registry (<= 50 entries so every SURVEY.md §2 operator
+    sits inside the driver's 50-row correctness window): relational +
+    training-data-pipeline entries (rdf_generator_spark.queries) and
+    KG-native golden-corpus entries incl. the consolidated family/suite
+    digests (rdf_generator_spark.queries_kg). Granular variants live in
+    the modules' QUERIES_EXTRA dicts, checked by pytest."""
     return {**Q.QUERIES, **QK.QUERIES}
 
 

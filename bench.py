@@ -85,8 +85,9 @@ def run_bench(spark, sf_dir: str, kg_scale: int) -> dict:
         kg_sec = sec if kg_sec is None else min(kg_sec, sec)
     timings["kg_pipeline"] = kg_sec
 
+    allq = {**Q.QUERIES, **Q.QUERIES_EXTRA}
     for name in HEADLINE:
-        fn = Q.QUERIES[name]
+        fn = allq[name]
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -106,17 +106,39 @@ def dataset_id_from_config(corpus: DataFrame) -> Optional[str]:
     return None
 
 
-def build_salts(meta: DataFrame, dataset_id: Optional[str]) -> DataFrame:
-    """build_dataset_seed_salt (main.py:227-249), per document."""
+def build_salts(
+    meta: DataFrame,
+    dataset_id: Optional[str],
+    json_names: Optional[DataFrame] = None,
+) -> DataFrame:
+    """build_dataset_seed_salt (main.py:227-249), per document.
+
+    Tier 2: sha256 fingerprint of the sorted non-empty normalized
+    metadata values; skipped entirely when every value normalizes to ''
+    (matching the reference's `if provenance_values:` guard). Tier 3
+    (main.py:245-247): `input::<normalized json basename>` from
+    `json_names(repo, commit, json_base)`. Tier 1 (dataset_id) and tier
+    4 ('dataset::default') are handled by the caller's coalesce."""
     norm = norm_seed_component(F.col("source_text"))
-    fp = F.sha2(
-        F.array_join(
-            F.array_sort(F.collect_list(F.when(norm != "", norm))), "||"
-        ),
-        256,
-    ).substr(1, 16)
-    return meta.groupBy(*DOC).agg(
-        F.concat(F.lit("metadata::"), fp).alias("salt")
+    vals = F.array_sort(F.collect_list(F.when(norm != "", norm)))
+    fp = F.sha2(F.array_join(vals, "||"), 256).substr(1, 16)
+    m = meta.groupBy(*DOC).agg(
+        F.when(F.size(vals) > 0,
+               F.concat(F.lit("metadata::"), fp)).alias("salt")
+    )
+    if json_names is None:
+        return m
+    jb = json_names.groupBy(*DOC).agg(F.min("json_base").alias("__jb"))
+    jbn = norm_seed_component(F.col("__jb"))
+    return (
+        jb.join(m, DOC, "full")
+        .select(
+            *DOC,
+            F.coalesce(
+                F.col("salt"),
+                F.when(jbn != "", F.concat(F.lit("input::"), jbn)),
+            ).alias("salt"),
+        )
     )
 
 
@@ -221,7 +243,10 @@ def build_graph(
             "salt", F.concat(F.lit("dataset::"), did)
         )
     else:
-        salts = build_salts(meta, dataset_id)
+        json_names = corpus.filter(F.col("lang") == "json").select(
+            *DOC, F.element_at(F.split(F.col("path"), "/"), -1).alias("json_base")
+        )
+        salts = build_salts(meta, dataset_id, json_names)
 
     charsx = (
         chars_f.join(salts, DOC, "left")

@@ -1115,3 +1115,26 @@ ORACLES["multimodal_frame_sampling"] = """
 """
 
 QUERIES["multimodal_frame_sampling"] = multimodal_frame_sampling
+
+
+# --------------------------------------------------------------------------
+# Canonical-vs-extra split (VERDICT r2 item 1): the driver checks only the
+# first 50 entries of the merged queries() dict, so the canonical registry
+# must stay <= 50 with every SURVEY §2 operator inside the window. Entries
+# whose §2 coverage duplicates a canonical KG-native entry move to the
+# EXTRA registry: still run against their DuckDB oracles by pytest
+# (tests/test_queries_oracle.py iterates canonical + extra), invisible to
+# the driver.
+# --------------------------------------------------------------------------
+
+QUERIES_EXTRA: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES_EXTRA: Dict[str, str] = {}
+for _retired in [
+    "q1_pricing_summary",      # TPC-H analogue; q3_shipping_topk keeps the slot
+    "q5_local_volume",         # 6-way join analogue; a4_distinct_rollup covers A4
+    "f2_variant_fanout",       # F2 canonical: kg_family_digests (f2_phe_statements)
+    "f3_statement_typing",     # F3 canonical: kg_family_digests (f3_statement_types_kg)
+    "a2_sequential_counters",  # A2 canonical: kg_family_digests (a2_counter_labels_kg)
+]:
+    QUERIES_EXTRA[_retired] = QUERIES.pop(_retired)
+    ORACLES_EXTRA[_retired] = ORACLES.pop(_retired)

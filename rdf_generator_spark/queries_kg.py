@@ -43,6 +43,12 @@ _EX = os.path.join(_REF, "data/examples")
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
 
+# Granular entries whose coverage is folded into a canonical suite /
+# merged entry (driver window budget — see queries.py): pytest-oracled
+# via tests/test_queries_oracle.py, not shown to the driver.
+QUERIES_EXTRA: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES_EXTRA: Dict[str, str] = {}
+
 
 # ---------------------------------------------------------------------------
 # Golden-graph cache: build once per process, keep the (small) collected
@@ -260,8 +266,27 @@ def s3_combined_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "part string, n bigint, digest string")
 
 
+def kg_family_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All operator-family digests of the golden graph in one driver
+    entry: (family, n, md5-of-sorted-rows) per FAMILIES selector —
+    F1-F12, K3, J4, A2/F3 in KG context. The oracle VALUES come from
+    the independent refsim derivation (scripts/regen_pins.py), so one
+    green row here pins each family against the executable reference
+    spec; the per-family granular entries stay pytest-checked in
+    QUERIES_EXTRA."""
+    g = _golden_df(spark)
+    out = None
+    for name in sorted(FAMILIES):
+        part = _digest_agg(g.filter(_family_cond(name))).select(
+            F.lit(name).alias("family"), "n", "digest"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 for _fam_name in FAMILIES:
-    QUERIES[_fam_name] = _make_family_query(_fam_name)
+    QUERIES_EXTRA[_fam_name] = _make_family_query(_fam_name)
+QUERIES["kg_family_digests"] = kg_family_digests
 QUERIES["k4_minted_iri_census"] = kg_minted_iri_census
 QUERIES["s3_combined_outputs"] = s3_combined_outputs
 
@@ -317,8 +342,16 @@ PARTS_PINS: List[Tuple[str, int, str]] = [
 
 def _install_pin_oracles() -> None:
     for name, (n, digest) in GOLDEN_PINS.items():
-        ORACLES[name] = (
+        ORACLES_EXTRA[name] = (
             f"SELECT CAST({n} AS BIGINT) AS n, '{digest}' AS digest"
+        )
+    if GOLDEN_PINS:
+        ORACLES["kg_family_digests"] = (
+            "SELECT family, CAST(n AS BIGINT) AS n, digest FROM (VALUES "
+            + ", ".join(
+                f"('{k}', {n}, '{d}')" for k, (n, d) in sorted(GOLDEN_PINS.items())
+            )
+            + ") AS t(family, n, digest)"
         )
     if CENSUS_PINS:
         ORACLES["k4_minted_iri_census"] = (
@@ -1258,3 +1291,97 @@ ORACLES["v3_validation_scopes"] = (
     "FROM (VALUES ('CDAO Matrix', FALSE, 10), ('Char_ID C1', TRUE, 0), ('Char_ID C10', TRUE, 0), ('Char_ID C2', TRUE, 0), ('Char_ID C3', TRUE, 0), ('Char_ID C4', TRUE, 0), ('Char_ID C5', TRUE, 0), ('Char_ID C6', TRUE, 0), ('Char_ID C7', TRUE, 0), ('Char_ID C8', TRUE, 0), ('Char_ID C9', TRUE, 0), ('Final Combined Graph', TRUE, 0), ('Species Combined', TRUE, 0), ('TU Ancyloscelis_apiformis', TRUE, 0), ('TU Anthidium_porterae', TRUE, 0), ('TU Arhysoceble_picta', TRUE, 0), ('TU Augochlora_pura', TRUE, 0), ('TU Coelioxys_octodentata', TRUE, 0), ('TU Diadasina_distincta', TRUE, 0), ('TU Euglossa_cordata', TRUE, 0), ('TU Halictus_rubicundus', TRUE, 0), ('TU Meganomia_gigas', TRUE, 0), ('TU Partamona_cupira', TRUE, 0)) "
     "AS t(scope, conforms, n_violations)"
 )
+
+
+# ---------------------------------------------------------------------------
+# Consolidated suites (VERDICT r2 item 1): the P-normalizers, seed
+# grammars, and SRC parsers collapse into four driver entries so every
+# §2 operator fits the driver's 50-entry correctness window. Each suite
+# stringifies the member query's row as (op, out) on BOTH sides — cast
+# to VARCHAR + '|'-joined with a '\\N' null sentinel — and UNION ALLs
+# the members; the granular entries (full native schemas) remain
+# pytest-oracled in QUERIES_EXTRA.
+# ---------------------------------------------------------------------------
+
+_SUITES: Dict[str, list] = {
+    # P1-P9 string/struct normalizers
+    "p_norm_suite": [
+        (p1_locator_norm, ["i", "label", "uri"]),
+        (p2_taxon_norm, ["i", "norm"]),
+        (p3_term_norm, ["i", "norm"]),
+        (p4_seed_norm, ["i", "norm"]),
+        (p5_species_uri_norm, ["i", "sp_uri"]),
+        (p6_char_num_parse, ["i", "num"]),
+        (p7_revision_source, ["i", "src"]),
+        (p8_binomial_split, ["i", "binomial", "author", "html"]),
+        (p9_negation_detect, ["i", "is_neg", "base_label", "labelN"]),
+    ],
+    # K3/K4/K5 pre-UUID5 seed grammars
+    "k_seed_suite": [
+        (k3_org_seed_grammar, ["i", "org_seed"]),
+        (k4_seed_grammar, ["i", "sta_seed", "cell_seed", "phe_seed"]),
+        (k5_fallback_seeds, ["i", "chain_seed", "var_seed"]),
+    ],
+    # SRC2-5 document parsers over the golden files
+    "src_parse_suite": [
+        (src2_char_json_scan, ["char_pos", "char_id", "org_label", "org_uri",
+                               "n_locators", "n_states", "has_variable",
+                               "var_label", "var_uri", "var_comment", "tag"]),
+        (src3_nexus_scan, ["taxon_pos", "taxon", "char_index", "symbol"]),
+        (src4_species_scan, ["sp_pos", "input_name", "valid_name", "gbif_id",
+                             "zoobank_id", "match_level", "uri"]),
+        (src5_metadata_scan, ["char_id", "source_text"]),
+    ],
+    # SRC6 OWL label index + SRC7 SHACL shapes table
+    "src_vocab_suite": [
+        (src6_owl_label_index, ["norm_label", "uri"]),
+        (src7_shacl_shapes, ["rule_id", "shape", "kind", "target", "p1", "p2",
+                             "min_count", "max_count"]),
+    ],
+}
+
+
+def _make_suite_query(specs):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for fn, cols in specs:
+            d = fn(spark, sf_dir).select(
+                F.lit(fn.__name__).alias("op"),
+                F.concat_ws(
+                    "|",
+                    *[F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+                      for c in cols],
+                ).alias("out"),
+            )
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    return q
+
+
+def _suite_oracle(specs) -> str:
+    parts = []
+    for fn, cols in specs:
+        inner = ORACLES[fn.__name__]
+        cc = " || '|' || ".join(
+            f"COALESCE(CAST({c} AS VARCHAR), '\\N')" for c in cols
+        )
+        parts.append(
+            f"SELECT '{fn.__name__}' AS op, {cc} AS out "
+            f"FROM ({inner}) AS sub_{fn.__name__}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+for _sname, _specs in _SUITES.items():
+    _sq = _make_suite_query(_specs)
+    _sq.__name__ = _sname
+    QUERIES[_sname] = _sq
+    ORACLES[_sname] = _suite_oracle(_specs)
+
+# Move the suite members' granular entries out of the driver registry.
+for _g in [fn.__name__ for specs in _SUITES.values() for (fn, _c) in specs]:
+    if _g in QUERIES:
+        QUERIES_EXTRA[_g] = QUERIES.pop(_g)
+    if _g in ORACLES:
+        ORACLES_EXTRA[_g] = ORACLES.pop(_g)

@@ -152,6 +152,7 @@ class RefSim:
         metadata: Dict[str, str],  # char_id -> source_text (already stripped)
         vocab: Dict[str, str],
         dataset_id: Optional[str] = None,
+        json_basename: Optional[str] = None,
     ):
         self.chars = [dict(c, locators=[dict(l) for l in c["locators"]],
                            states=[dict(s) for s in c["states"]]) for c in chars]
@@ -162,6 +163,7 @@ class RefSim:
         self.metadata = metadata
         self.vocab = vocab
         self.dataset_id = dataset_id
+        self.json_basename = json_basename
         self.ctr = Counters()
         self.fill_stats = {"filled": 0, "unresolved": 0}
         self._fill_uris()
@@ -221,6 +223,10 @@ class RefSim:
         if vals:
             fp = hashlib.sha256("||".join(vals).encode("utf-8")).hexdigest()[:16]
             return f"metadata::{fp}"
+        # tier 3 (main.py:245-247): normalized input-json basename
+        jb = py_norm_seed_component(self.json_basename)
+        if jb:
+            return f"input::{jb}"
         return "dataset::default"
 
     # --- helpers ---------------------------------------------------------

@@ -50,9 +50,10 @@ def test_anti_join_is_real_antijoin(spark):
 
 
 def test_no_python_eval_in_relational_queries(spark):
+    allq = {**Q.QUERIES, **Q.QUERIES_EXTRA}
     for name in ["q1_pricing_summary", "a2_sequential_counters",
                  "dedup_jaccard_pairs", "minhash_band_pairs", "text_quality_score"]:
-        plan = plan_of(Q.QUERIES[name](spark, SF))
+        plan = plan_of(allq[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
 
