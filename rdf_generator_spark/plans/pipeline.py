@@ -637,7 +637,16 @@ def build_graph(
                     "split the groups yourself."
                 )
         states_x = mat(states_x, "states_x")
-        cells_j = mat(cells_j, "cells_j")
+        # cells_j deliberately NOT materialized: its two consumers
+        # (visits below, cell_triples in _assemble) each sit directly on
+        # a materialized hub + the narrow NEXUS parse, so Catalyst can
+        # prune columns per consumer and pipeline the parse into them.
+        # An interleaved A/B at bench scale (24 datasets, one JVM)
+        # measured skipping this checkpoint at 40.4 s vs 73.4 s for the
+        # full-mat ladder — the barrier + full-width recompute cost far
+        # more than the duplicated parse. charsx/states_x/visits/parts
+        # stay materialized: they bound Catalyst plan depth and keep the
+        # final-graph plan free of Python stages (test_plans.py).
         visits = mat(visits, "visits")
 
     return _assemble(

@@ -69,6 +69,29 @@ def corpus_df(spark: SparkSession, rows: List[tuple]) -> DataFrame:
     return spark.createDataFrame(rdd, CORPUS_SCHEMA)
 
 
+def corpus_parquet_df(
+    spark: SparkSession, rows: List[tuple], path: Optional[str] = None
+) -> DataFrame:
+    """Stage an in-memory corpus to parquet once and read it back — the
+    file-backed shape real corpora have (tableio parquet/Iceberg refs).
+
+    A `createDataFrame` corpus is a pickled local relation: EVERY
+    downstream subtree that touches it (each mapInPandas parser, the
+    yaml config probe, the salt tier-3 path scan, base_part's doc list)
+    re-ships the full relation through Python workers per job. Parquet
+    backing turns those into pruned columnar scans — the path/lang-only
+    subtrees never read `content` at all. Use for benchmarks and any
+    multi-action workload; plain `corpus_df` remains for one-shot
+    tests."""
+    import os
+    import tempfile
+
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="rdfgen_corpus_"), "corpus")
+    corpus_df(spark, rows).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # OWL label index (SRC6). rdflib-free: the ontologies are RDF/XML with
 # rdf:about + rdfs:label elements; '#x' / 'x' abouts resolve against
