@@ -1082,6 +1082,90 @@ QUERIES["text_pii_redact"] = text_pii_redact
 QUERIES["text_decontaminate"] = text_decontaminate
 
 
+def dedup_near_groups(spark, sf_dir):
+    """The canonical corpus-dedup composition end-to-end — MinHash-LSH
+    candidates -> exact-Jaccard verify on candidates only -> connected
+    components -> keeper per group — against a full DuckDB twin that
+    replays every stage (md5 minhash signatures, banded buckets,
+    candidate-only verify, recursive-CTE components). Ten planted
+    near-copies (doc_id+500000, one appended token) guarantee
+    deterministic groups; every stage is deterministic on both engines
+    so even LSH recall behavior is twinned exactly."""
+    from rdf_generator_spark.textops.dedupe import near_dup_groups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz_planted_tail")).alias("text"),
+    )
+    return near_dup_groups(
+        d.unionByName(planted), threshold=0.8, shingle_k=3,
+        num_hashes=16, bands=4,
+    )
+
+
+ORACLES["dedup_near_groups"] = """
+    WITH RECURSIVE d0 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 500000, text || ' zz_planted_tail'
+        FROM documents WHERE doc_id < 10
+    ),
+    tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM d0),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   range(0, greatest(len(ts) - 3, 0) + 1),
+                   i -> array_to_string(ts[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ')))
+                 AS tok
+        FROM tk WHERE len(ts) >= 3
+    ),
+    hashed AS (
+        SELECT doc_id, i.i, md5(CAST(i.i AS VARCHAR) || ':' || tok) AS h
+        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) i
+    ),
+    sigs AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
+    bands AS (
+        SELECT doc_id, CAST(i//4 AS INT) AS band,
+               md5(string_agg(CAST(i AS VARCHAR) || '@' || mh, '|'
+                              ORDER BY CAST(i AS VARCHAR) || '@' || mh)) AS bh
+        FROM sigs GROUP BY doc_id, CAST(i//4 AS INT)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.d1, c.d2, COUNT(*) AS ic
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.d1
+        JOIN sh s2 ON s2.doc_id = c.d2 AND s2.tok = s1.tok
+        GROUP BY c.d1, c.d2
+    ),
+    ver AS (
+        SELECT CAST(i.d1 AS VARCHAR) AS a, CAST(i.d2 AS VARCHAR) AS b
+        FROM inter i
+        JOIN sz z1 ON z1.doc_id = i.d1
+        JOIN sz z2 ON z2.doc_id = i.d2
+        WHERE i.ic >= CAST(0.8 AS DOUBLE) * (z1.sz + z2.sz - i.ic)
+    ),
+    sym AS (SELECT a, b FROM ver UNION SELECT b, a FROM ver),
+    reach(node, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.node
+    ),
+    mapping AS (SELECT node, MIN(r) AS canon FROM reach GROUP BY node),
+    gsz AS (SELECT canon, COUNT(*) AS group_size FROM mapping GROUP BY canon)
+    SELECT m.node AS doc_id, m.canon AS keeper, g.group_size
+    FROM mapping m JOIN gsz g ON g.canon = m.canon
+"""
+
+QUERIES["dedup_near_groups"] = dedup_near_groups
+
+
 def multimodal_frame_sampling(spark, sf_dir):
     """Video frame-sampling plumbing (timestamp fan-out + per-frame
     digest) on deterministic synthetic media rows; the decode itself is

@@ -35,18 +35,26 @@ spark = (SparkSession.builder.master("local[{cpus}]")
     .config("spark.sql.shuffle.partitions", "{parts}")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.driver.memory", "12g")
+    .config("spark.sql.files.maxPartitionBytes", "4m")
+    .config("spark.sql.files.openCostInBytes", "4m")
     .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
-from rdf_generator_spark.sources.corpus import corpus_df
+from rdf_generator_spark.sources.corpus import corpus_parquet_df
 from rdf_generator_spark.sources.synth import synth_corpus_rows
 from rdf_generator_spark.plans.pipeline import build_graph
 rows = synth_corpus_rows(n_datasets={nds}, ntax=40, nchar=40, seed=1234,
                          giant_every=6, giant_scale=3)
-corpus = corpus_df(spark, rows)
-t0 = time.perf_counter()
-res = build_graph(spark, corpus)
-n = res["triples"].count()
-print(json.dumps({{"n_triples": n, "sec": round(time.perf_counter()-t0, 2)}}))
+corpus = corpus_parquet_df(spark, rows)
+# bench.py protocol: 3 iterations in one JVM, report the steady-state
+# best (JIT/codegen warmup takes two iterations)
+best, n = None, 0
+for _ in range(3):
+    t0 = time.perf_counter()
+    res = build_graph(spark, corpus)
+    n = res["triples"].count()
+    sec = round(time.perf_counter() - t0, 2)
+    best = sec if best is None else min(best, sec)
+print(json.dumps({{"n_triples": n, "sec": best}}))
 spark.stop()
 """
 
@@ -95,8 +103,9 @@ def main():
 
     cap_lo = best_of(lambda: cap(n_low))
     cap_hi = best_of(lambda: cap(n_high))
-    kg_lo = best_of(lambda: kg(n_low))
-    kg_hi = best_of(lambda: kg(n_high))
+    # the kg snippet is already best-of-3 inside one JVM per level
+    kg_lo = kg(n_low)
+    kg_hi = kg(n_high)
 
     pipeline_speedup = kg_lo["sec"] / kg_hi["sec"]
     capacity_speedup = cap_lo["sec"] / cap_hi["sec"]
@@ -119,8 +128,18 @@ def main():
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(report))
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # Replace only the auto-generated section; everything at and after
+    # the MANUAL marker (variance tables, A/B notes, blockers) survives.
+    path = os.path.join(REPO, "BENCH.md")
+    manual = ""
+    marker = "<!-- MANUAL -->"
+    if os.path.exists(path):
+        cur = open(path).read()
+        if marker in cur:
+            manual = cur[cur.index(marker):]
+    with open(path, "w") as f:
         f.write(_render(report))
+        f.write("\n" + (manual or marker + "\n"))
 
 
 def _render(r: dict) -> str:
@@ -128,7 +147,9 @@ def _render(r: dict) -> str:
 
 Measured {r['ts']} on the sandbox (single JVM, `local[N]`), identical
 input at both levels: {r['datasets']} synthetic datasets
-({r['n_triples']:,} final canonical triples), best of 2 runs per cell.
+({r['n_triples']:,} final canonical triples), parquet-staged corpus,
+steady-state best-of-3 per level (JIT warmup excluded; bench.py
+protocol).
 
 | measurement | local[{r['n_low']}] | local[{r['n_high']}] |
 |---|---|---|
