@@ -1166,6 +1166,53 @@ ORACLES["dedup_near_groups"] = """
 QUERIES["dedup_near_groups"] = dedup_near_groups
 
 
+def text_sample_deterministic(spark, sf_dir):
+    """Seeded hash-threshold Bernoulli sample (retry/repartition-stable,
+    unlike df.sample) — membership is a pure function of (seed, key),
+    twinned bit-for-bit in DuckDB via the same md5 32-bit prefix."""
+    from rdf_generator_spark.textops.sampling import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_sample(d, fraction=0.25, seed=7).select("doc_id")
+
+
+ORACLES["text_sample_deterministic"] = """
+    SELECT doc_id FROM documents
+    WHERE ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          < 1073741824
+"""
+
+
+def text_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (context-window shards) via
+    bucketed distributed prefix-sum — no global window."""
+    from rdf_generator_spark.textops.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, max_tokens=2000, buckets=8)
+
+
+ORACLES["text_pack_sequences"] = """
+    WITH base AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    % 8 AS INT) AS bucket,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, bucket,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY bucket ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 2000) AS BIGINT) AS pack_id,
+           n_tokens
+    FROM base
+"""
+
+QUERIES["text_sample_deterministic"] = text_sample_deterministic
+QUERIES["text_pack_sequences"] = text_pack_sequences
+
+
 def multimodal_frame_sampling(spark, sf_dir):
     """Video frame-sampling plumbing (timestamp fan-out + per-frame
     digest) on deterministic synthetic media rows; the decode itself is

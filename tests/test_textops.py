@@ -32,6 +32,45 @@ def test_exact_dup_groups(spark):
     assert with_m == {1: (2, [1, 2]), 3: (1, [3])}
 
 
+def test_deterministic_sample_properties(spark):
+    from rdf_generator_spark.textops.sampling import deterministic_sample
+
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"] for r in deterministic_sample(df, 0.3, seed=1).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(df, 0.3, seed=1).collect()}
+    assert s1 == s2  # retry-stable
+    # fraction within binomial tolerance
+    assert 0.25 < len(s1) / 10_000 < 0.35
+    # monotone in fraction: 0.1 sample is a subset of the 0.3 sample
+    s_small = {r["doc_id"] for r in deterministic_sample(df, 0.1, seed=1).collect()}
+    assert s_small < s1
+    # different seed -> different membership
+    s3 = {r["doc_id"] for r in deterministic_sample(df, 0.3, seed=2).collect()}
+    assert s3 != s1
+
+
+def test_pack_sequences_budget(spark):
+    from rdf_generator_spark.textops.sampling import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * (50 + (i * 37) % 400))) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, max_tokens=1000, buckets=4).collect()
+    assert len(out) == 300  # no document dropped or split
+    packs = {}
+    for r in out:
+        packs.setdefault((r["bucket"], r["pack_id"]), []).append(r["n_tokens"])
+    for (b, p), sizes in packs.items():
+        # streaming-packing bound: a pack may overflow by at most its
+        # last (straddling) document
+        assert sum(sizes) <= 1000 + max(sizes), (b, p, sizes)
+    # pack ids are contiguous from 0 within each bucket
+    by_bucket = {}
+    for (b, p), _ in packs.items():
+        by_bucket.setdefault(b, set()).add(p)
+    for b, pids in by_bucket.items():
+        assert pids == set(range(len(pids))), (b, pids)
+
+
 def test_exact_dup_groups_hot_key_bounded(spark):
     """A viral duplicate (10^5 copies of one text) must not blow an
     aggregation buffer: members are capped at max_members, counts stay
