@@ -6,6 +6,14 @@ actual KG path — the golden example corpus (the reference repo's shipped
 example files) and small VALUES fixtures — so EVERY §2 operator has a
 driver-visible oracle row, not just pytest evidence.
 
+Round 3: the driver checks only the first 50 entries of the merged
+queries() dict, so this module splits into CANONICAL entries (QUERIES /
+ORACLES — the merged `kg_family_digests`, the four consolidated suites,
+and the standalone behavioral entries) and granular EXTRA entries
+(QUERIES_EXTRA / ORACLES_EXTRA — per-family digests, per-normalizer and
+per-parser entries), which tests/test_queries_oracle.py still checks
+against DuckDB.
+
 Oracle strategy per group:
 
 * Golden family digests — the Spark pipeline builds the golden graph

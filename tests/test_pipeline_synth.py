@@ -50,6 +50,47 @@ def test_synth_corpus_matches_oracle_per_doc(spark, seed):
         )
 
 
+def test_no_metadata_corpus_uses_input_salt_tier(spark):
+    """K2 tier 3 end-to-end (reference main.py:245-247): with no
+    metadata CSV and no dataset_id, the salt is
+    input::<normalized json basename> — pipeline and refsim must agree
+    on the full per-doc triple set, which pins every org- seed minted
+    through that salt."""
+    rows = [
+        r for r in synth_corpus_rows(n_datasets=2, ntax=5, nchar=5, seed=31)
+        if r[3] != "csv"
+    ]
+    corpus = corpus_df(spark, rows)
+    res = build_graph(spark, corpus)
+    got_by_doc = defaultdict(set)
+    for r in res["triples"].collect():
+        got_by_doc[r["repo"]].add((r["s"], r["p"], r["o"], bool(r["lit"]), r["dt"]))
+
+    by_repo = defaultdict(dict)
+    for repo, path, commit, lang, content in rows:
+        by_repo[repo][lang] = content
+        if lang == "json":
+            by_repo[repo]["__json_base"] = path.rsplit("/", 1)[-1]
+
+    assert len(got_by_doc) == 2
+    for repo, docs in by_repo.items():
+        chars = P.char_rows_from_json(docs["json"])
+        cells = P._parse_nexus_matrix(docs["nexus"])
+        species = P.species_rows_from_json(docs["species-json"])
+        vocab = build_label_index(docs["owl"])
+        sim = RefSim(chars, cells, species, {}, vocab,
+                     json_basename=docs["__json_base"])
+        assert sim.salt.startswith("input::"), sim.salt
+        want = sim.run()["final"].triples()
+        got = got_by_doc[repo]
+        extra, missing = got - want, want - got
+        assert got == want, (
+            f"{repo}: extra={len(extra)} missing={len(missing)}\n"
+            + "\n".join(f"  EXTRA {t}" for t in sorted(extra)[:8])
+            + "\n".join(f"  MISS  {t}" for t in sorted(missing)[:8])
+        )
+
+
 def test_dataset_id_from_yaml_config(spark):
     """SRC1: dataset_id in a lang='yaml' config row salts every org seed
     (reference main.py:232-235: config dominates the metadata salt)."""
