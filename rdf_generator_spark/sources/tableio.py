@@ -6,16 +6,21 @@ Iceberg runtime jars, so every call site goes through this module and
 the choice is a *reference string*, not a code change:
 
 * ``/data/corpus``            -> parquet directory
+* ``table:db.corpus``         -> session-catalog managed table (works
+  offline; the closest runnable stand-in for the Iceberg deployment —
+  same catalog-name indirection, partitioned storage, and idempotent
+  dynamic-partition commits via INSERT OVERWRITE)
 * ``iceberg:cat.db.corpus``   -> Iceberg table (requires
   ``--packages org.apache.iceberg:iceberg-spark-runtime-...`` and a
   configured catalog on the session)
 
-Semantics mapping (what the parquet fallback emulates):
+Semantics mapping (what the parquet/catalog fallbacks emulate):
 
-* snapshot pinning   <- Iceberg ``snapshot-id`` read option; parquet has
-  no snapshots (empty id).
+* snapshot pinning   <- Iceberg ``snapshot-id`` read option; parquet and
+  catalog tables have no snapshots (empty id).
 * idempotent commit  <- Iceberg ``overwritePartitions`` (one atomic
-  snapshot); parquet uses dynamic partition overwrite + refreshByPath.
+  snapshot); catalog tables use INSERT OVERWRITE with dynamic partition
+  mode; parquet paths use dynamic partition overwrite + refreshByPath.
 """
 
 from __future__ import annotations
@@ -25,14 +30,23 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 ICEBERG_PREFIX = "iceberg:"
+CATALOG_PREFIX = "table:"
 
 
 def is_iceberg_ref(ref: str) -> bool:
     return ref.startswith(ICEBERG_PREFIX)
 
 
+def is_catalog_ref(ref: str) -> bool:
+    return ref.startswith(CATALOG_PREFIX)
+
+
 def _name(ref: str) -> str:
     return ref[len(ICEBERG_PREFIX):]
+
+
+def _cat_name(ref: str) -> str:
+    return ref[len(CATALOG_PREFIX):]
 
 
 def _iceberg_unavailable(exc: Exception, ref: str) -> RuntimeError:
@@ -62,9 +76,11 @@ def read_table(
             raise _iceberg_unavailable(exc, ref)
     if snapshot_id:
         raise ValueError(
-            f"snapshot_id={snapshot_id!r} requested for parquet path "
+            f"snapshot_id={snapshot_id!r} requested for non-Iceberg ref "
             f"'{ref}' — snapshots need an iceberg: table reference"
         )
+    if is_catalog_ref(ref):
+        return spark.table(_cat_name(ref))
     return spark.read.parquet(ref)
 
 
@@ -103,6 +119,32 @@ def write_table(
             raise
         except Exception as exc:
             raise _iceberg_unavailable(exc, ref)
+    if is_catalog_ref(ref):
+        name = _cat_name(ref)
+        spark = df.sparkSession
+        if mode == "overwrite" or not spark.catalog.tableExists(name):
+            w = df.write.mode("overwrite").format("parquet")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.saveAsTable(name)
+            return
+        # align to the table's stored column order (saveAsTable moves
+        # partition columns to the end); insertInto is positional
+        cols = spark.table(name).columns
+        if mode == "append":
+            df.select(*cols).write.mode("append").insertInto(name)
+            return
+        # overwrite-partitions: INSERT OVERWRITE in dynamic mode replaces
+        # exactly the partitions present in df — the v1-catalog analogue
+        # of Iceberg's overwritePartitions snapshot commit
+        conf = spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.select(*cols).write.mode("overwrite").insertInto(name)
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return
     w = df.write
     if mode == "append":
         w = w.mode("append")
@@ -124,6 +166,8 @@ def table_exists(spark: SparkSession, ref: str) -> bool:
             return spark.catalog.tableExists(_name(ref))
         except Exception as exc:
             raise _iceberg_unavailable(exc, ref)
+    if is_catalog_ref(ref):
+        return spark.catalog.tableExists(_cat_name(ref))
     import os
 
     return os.path.exists(ref)

@@ -57,6 +57,47 @@ def test_resume_skips_done_docs(spark, tmp_path):
     assert lin.count() == 15
 
 
+def test_resume_with_catalog_tables(spark, tmp_path):
+    """run_resumable against session-catalog managed tables (`table:`
+    refs) — the offline stand-in for the Iceberg deployment. Exercises
+    the catalog branch of tableio end-to-end: create-on-first-write,
+    resume no-op, content-drift reprocessing via INSERT OVERWRITE
+    dynamic partitions, and no duplicate lineage rows after replays."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    t_ref, l_ref = f"table:triples_{sfx}", f"table:lineage_{sfx}"
+    out = str(tmp_path / "out")
+    rows = synth_corpus_rows(n_datasets=2, ntax=4, nchar=4, seed=13)
+    try:
+        r1 = L.run_resumable(spark, corpus_df(spark, rows), out,
+                             triples_table=t_ref, lineage_table=l_ref)
+        assert r1["docs"] == 2 and r1["triples"] > 0
+
+        r2 = L.run_resumable(spark, corpus_df(spark, rows), out,
+                             triples_table=t_ref, lineage_table=l_ref)
+        assert r2 == {"docs": 0, "triples": 0}
+
+        drifted = [
+            (repo, path, commit, lang, content + "\n")
+            if lang == "csv" and repo.endswith("0000")
+            else (repo, path, commit, lang, content)
+            for repo, path, commit, lang, content in rows
+        ]
+        r3 = L.run_resumable(spark, corpus_df(spark, drifted), out,
+                             triples_table=t_ref, lineage_table=l_ref)
+        assert r3["docs"] == 1
+
+        lin = spark.table(f"lineage_{sfx}")
+        assert lin.count() == 10  # 5 files x 2 datasets, no duplicates
+        assert len(lin.select("content_sha256").first()["content_sha256"]) == 64
+        tri = spark.table(f"triples_{sfx}")
+        assert tri.count() == r3["triples"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS triples_{sfx}")
+        spark.sql(f"DROP TABLE IF EXISTS lineage_{sfx}")
+
+
 def test_connected_components(spark):
     edges = spark.createDataFrame(
         [("b", "c"), ("a", "b"), ("x", "y"), ("q", "q")], ["a", "b"]
