@@ -1213,6 +1213,40 @@ QUERIES["text_sample_deterministic"] = text_sample_deterministic
 QUERIES["text_pack_sequences"] = text_pack_sequences
 
 
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding column —
+    integer-only output, exact DuckDB twin (floor(x+0.5) rounding on
+    both engines, no HALF_UP ambiguity)."""
+    from rdf_generator_spark.textops.similarity import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return quantize_embeddings(e)
+
+
+ORACLES["embedding_quantize_int8"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 200
+    ),
+    s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / CAST(127 AS DOUBLE)
+                 AS scale
+        FROM e
+    )
+    SELECT vec_id,
+           CAST(FLOOR(scale * 1000000000) AS BIGINT) AS scale_ppb,
+           CAST(t.i AS INT) AS dim,
+           CAST(CASE WHEN scale = 0 THEN 0
+                     ELSE GREATEST(-127, LEAST(127,
+                          FLOOR(v[CAST(t.i + 1 AS INT)] / scale + 0.5)))
+                END AS INT) AS q
+    FROM s, UNNEST(range(len(v))) AS t(i)
+"""
+
+QUERIES["embedding_quantize_int8"] = embedding_quantize_int8
+
+
 def multimodal_frame_sampling(spark, sf_dir):
     """Video frame-sampling plumbing (timestamp fan-out + per-frame
     digest) on deterministic synthetic media rows; the decode itself is

@@ -130,6 +130,44 @@ def ivf_build(
     return centroids, assign(centroids).select(id_col, "cell")
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the memory/IO scale path
+    for ANN (4x smaller than float32, dot products stay within ~1% for
+    unit-norm data).
+
+    scale = max(|v|) / 127; q_i = clamp(floor(v_i/scale + 0.5), ±127).
+    floor(x + 0.5) instead of round(): both engines (and any SQL twin)
+    agree on exact IEEE semantics, with no HALF_UP/HALF_EVEN ambiguity.
+    Zero vectors quantize to all-zero with scale 0. Returns one row per
+    (id, dim) — (id, scale_ppb, dim, q), integer-only output so value
+    hashes are float-format-proof."""
+    absmax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(absmax == 0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+                ),
+            )
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.floor(scale * F.lit(1_000_000_000)).cast("bigint").alias("scale_ppb"),
+        F.posexplode(q).alias("dim", "q"),
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     assignments: DataFrame,

@@ -32,6 +32,30 @@ def test_exact_dup_groups(spark):
     assert with_m == {1: (2, [1, 2]), 3: (1, [3])}
 
 
+def test_quantize_embeddings_roundtrip(spark):
+    from rdf_generator_spark.textops.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),     # zero vector -> scale 0, all q 0
+        (3, [127.0, -127.0, 63.5, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = quantize_embeddings(df).collect()
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], {})[r["dim"]] = (r["q"], r["scale_ppb"])
+    assert {d for d in by_vec[1]} == {0, 1, 2, 3}
+    # vec 1: scale = 1.0/127; q = round(v * 127)
+    assert [by_vec[1][d][0] for d in range(4)] == [64, -127, 32, 0]
+    assert all(q == 0 and s == 0 for q, s in by_vec[2].values())
+    # reconstruction error bounded by scale/2 per component
+    scale3 = by_vec[3][0][1] / 1e9
+    recon = [by_vec[3][d][0] * scale3 for d in range(4)]
+    for got, want in zip(recon, rows[2][1]):
+        assert abs(got - want) <= scale3 / 2 + 1e-9
+
+
 def test_deterministic_sample_properties(spark):
     from rdf_generator_spark.textops.sampling import deterministic_sample
 
