@@ -111,20 +111,37 @@ def validation_report(result: dict, include_per_tu: bool = True):
 
 
 def render_summary(conformance_rows, violation_rows) -> str:
-    """Text render in the spirit of validation_summary.txt: one block
-    per scope with conformance + violation lines."""
+    """validation_summary.txt render matching the reference's layout
+    (main.py:1220-1225): per-scope ``==== {entity_id} ====`` header
+    followed by the validator's report text and a blank line. The report
+    body follows pySHACL's skeleton — 'Validation Report' / 'Conforms:'
+    / 'Results (N):' / indented Constraint-Violation blocks — with this
+    engine's rule fields in the block slots (pySHACL's rdflib term
+    pretty-printing is not reproduced; the structure and counts are)."""
     by_scope: dict = {}
     for r in violation_rows:
         by_scope.setdefault((r["repo"], r["commit"], r["scope"]), []).append(r)
     out = []
     for r in sorted(conformance_rows, key=lambda x: (x["repo"], x["commit"], x["scope"])):
         key = (r["repo"], r["commit"], r["scope"])
+        vs = sorted(by_scope.get(key, []), key=lambda v: (v["shape"], v["focus"]))
         out.append(f"==== {r['scope']} ====")
+        out.append("Validation Report")
         out.append(f"Conforms: {bool(r['conforms'])}")
-        for v in sorted(by_scope.get(key, []), key=lambda v: (v["shape"], v["focus"])):
-            out.append(
-                f"  Violation [{v['shape']}] focus={v['focus']} path={v['path']} "
-                f"{v['constraint']} expected={v['expected']} actual={v['actual']}"
-            )
+        if vs:
+            out.append(f"Results ({len(vs)}):")
+            for v in vs:
+                out.append(
+                    f"Constraint Violation in {v['constraint']}"
+                    "ConstraintComponent:"
+                )
+                out.append("\tSeverity: sh:Violation")
+                out.append(f"\tSource Shape: {v['shape']}")
+                out.append(f"\tFocus Node: {v['focus']}")
+                if v["path"]:
+                    out.append(f"\tResult Path: {v['path']}")
+                out.append(
+                    f"\tMessage: expected={v['expected']} actual={v['actual']}"
+                )
         out.append("")
     return "\n".join(out)

@@ -125,3 +125,12 @@ def test_scoped_validation_report(spark, result):
     assert by["TU Arhysoceble_picta"]["conforms"]
     text = render_summary(rows, violations.collect())
     assert "==== CDAO Matrix ====" in text and "TUShape" in text
+    # pySHACL-shaped skeleton (reference main.py:1220-1225 appends the
+    # validator's report text under each ==== header)
+    assert "Validation Report" in text
+    assert "Conforms: False" in text and "Conforms: True" in text
+    matrix_block = text.split("==== CDAO Matrix ====")[1].split("====")[0]
+    assert "Results (10):" in matrix_block
+    assert "Constraint Violation in " in matrix_block
+    assert "\tSeverity: sh:Violation" in matrix_block
+    assert "\tFocus Node: " in matrix_block
