@@ -52,7 +52,9 @@ def test_anti_join_is_real_antijoin(spark):
 def test_no_python_eval_in_relational_queries(spark):
     allq = {**Q.QUERIES, **Q.QUERIES_EXTRA}
     for name in ["q1_pricing_summary", "a2_sequential_counters",
-                 "dedup_jaccard_pairs", "minhash_band_pairs", "text_quality_score"]:
+                 "dedup_jaccard_pairs", "minhash_band_pairs", "text_quality_score",
+                 "text_sample_deterministic", "text_pack_sequences",
+                 "embedding_quantize_int8"]:
         plan = plan_of(allq[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
@@ -112,7 +114,8 @@ def test_lsh_ops_have_no_cartesian_product(spark):
     equi-joins — an all-pairs CartesianProduct would be the 100-TB
     killer."""
     for name in ["minhash_band_pairs", "dedup_simhash_pairs",
-                 "dedup_embedding_neardup", "text_decontaminate"]:
+                 "dedup_embedding_neardup", "text_decontaminate",
+                 "dedup_near_groups"]:
         plan = plan_of(Q.QUERIES[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
