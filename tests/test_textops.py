@@ -32,6 +32,61 @@ def test_exact_dup_groups(spark):
     assert with_m == {1: (2, [1, 2]), 3: (1, [3])}
 
 
+def test_quantize_embeddings_randomized_invariants(spark):
+    """Seeded random vectors (incl. negatives, tiny and huge magnitudes):
+    |q| <= 127 always, and dequantized values reconstruct within
+    scale/2 per component."""
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(200):
+        mag = 10.0 ** rng.randint(-6, 6)
+        rows.append((i, [rng.uniform(-mag, mag) for _ in range(16)]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = similarity.quantize_embeddings(df).collect()
+    assert len(out) == 200 * 16
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], {})[r["dim"]] = (r["q"], r["scale_ppb"])
+    for i, vec in rows:
+        scale = max(abs(f32(x)) for x in vec) / 127.0
+        for d, x in enumerate(vec):
+            q, sppb = by_vec[i][d]
+            assert -127 <= q <= 127
+            assert sppb == int(scale * 1e9) or abs(sppb - scale * 1e9) <= 1
+            assert abs(q * scale - f32(x)) <= scale / 2 + 1e-12
+
+
+def test_sample_and_pack_randomized_invariants(spark):
+    """Seeded random corpus: sampling is a deterministic subset at any
+    fraction (0 and 1 edges exact); packing conserves rows and respects
+    the streaming budget bound for several (max_tokens, buckets)."""
+    import random
+
+    from rdf_generator_spark.textops.sampling import (
+        deterministic_sample, pack_sequences,
+    )
+
+    rng = random.Random(4242)
+    rows = [(i, " ".join(["w"] * rng.randint(1, 300))) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert deterministic_sample(df, 0.0, seed=3).count() == 0
+    assert deterministic_sample(df, 1.0, seed=3).count() == 500
+    for mt, b in [(500, 2), (1000, 8), (10_000, 1)]:
+        out = pack_sequences(df, max_tokens=mt, buckets=b).collect()
+        assert len(out) == 500
+        packs = {}
+        for r in out:
+            assert 0 <= r["bucket"] < b
+            packs.setdefault((r["bucket"], r["pack_id"]), []).append(r["n_tokens"])
+        for sizes in packs.values():
+            assert sum(sizes) <= mt + max(sizes)
+
+
 def test_quantize_embeddings_roundtrip(spark):
     from rdf_generator_spark.textops.similarity import quantize_embeddings
 
