@@ -41,6 +41,60 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
 
 
 # --------------------------------------------------------------------------
+# Suite consolidation helpers (driver-window budget): a suite entry
+# UNION ALLs its member queries, stringifying each member row as
+# (op, out) on BOTH engines. Column values are '|'-joined with a '\N'
+# null sentinel; to keep column boundaries unambiguous (a value
+# containing '|' or a literal '\N' must not shift fields or collide
+# with NULL), every value is escaped first: '\' -> '\\', then
+# '|' -> '\|'. Escaped data can never produce a bare '\N' (its
+# backslash doubles), so the sentinel stays unambiguous too.
+# --------------------------------------------------------------------------
+
+def _suite_esc_col(c):
+    e = F.replace(c.cast("string"), F.lit("\\"), F.lit("\\\\"))
+    e = F.replace(e, F.lit("|"), F.lit("\\|"))
+    return F.coalesce(e, F.lit("\\N"))
+
+
+def _suite_esc_sql(expr: str) -> str:
+    return (
+        "COALESCE(replace(replace(CAST(" + expr + " AS VARCHAR), "
+        "'\\', '\\\\'), '|', '\\|'), '\\N')"
+    )
+
+
+def make_suite_query(specs):
+    """specs: [(member_fn, [out_col, ...]), ...] -> one suite callable."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for fn, cols in specs:
+            d = fn(spark, sf_dir).select(
+                F.lit(fn.__name__).alias("op"),
+                F.concat_ws(
+                    "|", *[_suite_esc_col(F.col(c)) for c in cols]
+                ).alias("out"),
+            )
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    return q
+
+
+def make_suite_oracle(specs, oracles) -> str:
+    parts = []
+    for fn, cols in specs:
+        inner = oracles[fn.__name__]
+        cc = " || '|' || ".join(_suite_esc_sql(c) for c in cols)
+        parts.append(
+            f"SELECT '{fn.__name__}' AS op, {cc} AS out "
+            f"FROM ({inner}) AS sub_{fn.__name__}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# --------------------------------------------------------------------------
 # KG-operator analogues over the relational testdata
 # --------------------------------------------------------------------------
 
@@ -1303,3 +1357,115 @@ for _retired in [
 ]:
     QUERIES_EXTRA[_retired] = QUERIES.pop(_retired)
     ORACLES_EXTRA[_retired] = ORACLES.pop(_retired)
+
+
+# --------------------------------------------------------------------------
+# Round-4 consolidation (VERDICT r3 item 2): fold the streaming pair and
+# the five text-analysis entries into two suites (same escaped-stringify
+# mechanism as the KG-side suites) to restore driver-window headroom.
+# The granular members stay pytest-oracled in QUERIES_EXTRA.
+# --------------------------------------------------------------------------
+
+_SUITES_REL = {
+    "stream_suite": [
+        (events_sessionize, ["user_id", "n_sessions"]),
+        (w1_tumbling_window, ["hour", "event_type", "n", "v_cents"]),
+    ],
+    "text_analysis_suite": [
+        (text_token_stats, ["doc_id", "n_tokens", "n_uniq", "avg_len_x100"]),
+        (text_langid, ["doc_id", "n_stop", "lang_guess"]),
+        (text_quality_score, ["doc_id", "n_tokens", "n_stopwords",
+                              "mean_wordlen_x100", "uniq_ratio_x1000",
+                              "quality_score"]),
+        (text_fingerprint, ["doc_id", "fp"]),
+        (text_winnow_fingerprint, ["doc_id", "content_fp", "n_winnowed",
+                                   "winnow_fp"]),
+    ],
+}
+
+for _sname, _specs in _SUITES_REL.items():
+    _sq = make_suite_query(_specs)
+    _sq.__name__ = _sname
+    QUERIES[_sname] = _sq
+    ORACLES[_sname] = make_suite_oracle(_specs, ORACLES)
+
+for _g in [fn.__name__ for specs in _SUITES_REL.values() for (fn, _c) in specs]:
+    QUERIES_EXTRA[_g] = QUERIES.pop(_g)
+    ORACLES_EXTRA[_g] = ORACLES.pop(_g)
+
+
+def j1_fuzzy_fill(spark, sf_dir):
+    """J1 similarity tier, driver-visible (the north-star generalization
+    of the reference's exact-match-only vocabulary fill,
+    main.py:296-343; operators/linking.py::fuzzy_match_labels):
+    character-3-gram Dice matching of perturbed mention labels (each
+    nation name + a trailing 'x') against the nation-name vocabulary.
+    The exact tier stays first in the pipeline (reference parity); this
+    entry exercises the similarity tier itself against a full DuckDB
+    twin of the n-gram/Dice algebra. Score ships as x1e4 integer via
+    floor(round(score,4)*1e4 + 0.5) so the value hash is float-free."""
+    from rdf_generator_spark.operators.linking import fuzzy_match_labels
+
+    n = _t(spark, sf_dir, "nation")
+    mentions = n.select(F.concat(F.col("n_name"), F.lit("x")).alias("label"))
+    vocab = n.select(
+        F.lower(F.col("n_name")).alias("norm_label"),
+        F.concat(F.lit("uri:"), F.col("n_name")).alias("uri"),
+    )
+    fz = fuzzy_match_labels(mentions, vocab, threshold=0.7)
+    return fz.select(
+        "label", "uri",
+        F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("bigint")
+        .alias("score_x1e4"),
+    )
+
+
+# Full algebra twin: same padding, 3-gram windows, distinct gram sets,
+# Dice = 2*overlap/(n_m+n_v) (double division on both engines), same
+# >=0.7 filter on the raw score, same (score DESC, uri) best-match
+# window, and the same round(.,4) -> floor(x*1e4+0.5) integerization.
+ORACLES["j1_fuzzy_fill"] = """
+    WITH m AS (
+        SELECT DISTINCT n_name || 'x' AS label,
+               ' ' || lower(n_name || 'x') || ' ' AS padded
+        FROM nation
+    ),
+    mg0 AS (
+        SELECT label,
+               list_distinct(list_transform(
+                   range(1, GREATEST(length(padded) - 2, 1) + 1),
+                   i -> substr(padded, CAST(i AS INT), 3))) AS gs
+        FROM m
+    ),
+    mg AS (SELECT label, unnest(gs) AS g, len(gs) AS n_m FROM mg0),
+    v AS (
+        SELECT lower(n_name) AS v_label, 'uri:' || n_name AS uri,
+               ' ' || lower(n_name) || ' ' AS padded
+        FROM nation
+    ),
+    vg0 AS (
+        SELECT v_label, uri,
+               list_distinct(list_transform(
+                   range(1, GREATEST(length(padded) - 2, 1) + 1),
+                   i -> substr(padded, CAST(i AS INT), 3))) AS gs
+        FROM v
+    ),
+    vg AS (SELECT v_label, uri, unnest(gs) AS g, len(gs) AS n_v FROM vg0),
+    scored AS (
+        SELECT label, v_label, uri, n_m, n_v, COUNT(*) AS overlap,
+               2 * COUNT(*) / (n_m + n_v) AS score
+        FROM mg JOIN vg USING (g)
+        GROUP BY label, v_label, uri, n_m, n_v
+    ),
+    best AS (
+        SELECT label, uri, score,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY score DESC, uri) AS rn
+        FROM scored WHERE score >= 0.7
+    )
+    SELECT label, uri,
+           CAST(FLOOR(ROUND(score, 4) * 10000 + 0.5) AS BIGINT) AS score_x1e4
+    FROM best WHERE rn = 1
+"""
+
+QUERIES["j1_fuzzy_fill"] = j1_fuzzy_fill

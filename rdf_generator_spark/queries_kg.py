@@ -1305,11 +1305,17 @@ ORACLES["v3_validation_scopes"] = (
 # Consolidated suites (VERDICT r2 item 1): the P-normalizers, seed
 # grammars, and SRC parsers collapse into four driver entries so every
 # §2 operator fits the driver's 50-entry correctness window. Each suite
-# stringifies the member query's row as (op, out) on BOTH sides — cast
-# to VARCHAR + '|'-joined with a '\\N' null sentinel — and UNION ALLs
-# the members; the granular entries (full native schemas) remain
+# stringifies the member query's row as (op, out) on BOTH sides via the
+# shared escaped '|'-join helpers in queries.py (backslash/pipe escaped,
+# '\\N' null sentinel — column boundaries stay unambiguous) and UNION
+# ALLs the members; the granular entries (full native schemas) remain
 # pytest-oracled in QUERIES_EXTRA.
 # ---------------------------------------------------------------------------
+
+from rdf_generator_spark.queries import (  # noqa: E402
+    make_suite_oracle,
+    make_suite_query,
+)
 
 _SUITES: Dict[str, list] = {
     # P1-P9 string/struct normalizers
@@ -1349,43 +1355,11 @@ _SUITES: Dict[str, list] = {
 }
 
 
-def _make_suite_query(specs):
-    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        out = None
-        for fn, cols in specs:
-            d = fn(spark, sf_dir).select(
-                F.lit(fn.__name__).alias("op"),
-                F.concat_ws(
-                    "|",
-                    *[F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
-                      for c in cols],
-                ).alias("out"),
-            )
-            out = d if out is None else out.unionByName(d)
-        return out
-
-    return q
-
-
-def _suite_oracle(specs) -> str:
-    parts = []
-    for fn, cols in specs:
-        inner = ORACLES[fn.__name__]
-        cc = " || '|' || ".join(
-            f"COALESCE(CAST({c} AS VARCHAR), '\\N')" for c in cols
-        )
-        parts.append(
-            f"SELECT '{fn.__name__}' AS op, {cc} AS out "
-            f"FROM ({inner}) AS sub_{fn.__name__}"
-        )
-    return "\nUNION ALL\n".join(parts)
-
-
 for _sname, _specs in _SUITES.items():
-    _sq = _make_suite_query(_specs)
+    _sq = make_suite_query(_specs)
     _sq.__name__ = _sname
     QUERIES[_sname] = _sq
-    ORACLES[_sname] = _suite_oracle(_specs)
+    ORACLES[_sname] = make_suite_oracle(_specs, ORACLES)
 
 # Move the suite members' granular entries out of the driver registry.
 for _g in [fn.__name__ for specs in _SUITES.values() for (fn, _c) in specs]:

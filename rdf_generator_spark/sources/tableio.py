@@ -95,7 +95,17 @@ def write_table(
     ``overwrite-partitions`` replaces exactly the partitions present in
     `df` (Iceberg: one atomic snapshot; parquet: dynamic partition
     overwrite). ``append`` blind-appends. ``overwrite`` replaces the
-    whole table."""
+    whole table.
+
+    Concurrency contract: the ``table:`` overwrite-partitions branch has
+    to toggle the session-global ``spark.sql.sources.partitionOverwriteMode``
+    (v1 ``insertInto`` has no per-write equivalent), so two concurrent
+    ``table:`` writers in ONE SparkSession can race each other's
+    static/dynamic mode — this function assumes one writer per session
+    at a time (the pipeline's lineage commits are sequential, satisfying
+    it). Path refs don't have this problem (per-write
+    ``option("partitionOverwriteMode", ...)``), and Iceberg commits are
+    atomic snapshots; use either for multi-writer sessions."""
     if is_iceberg_ref(ref):
         name = _name(ref)
         try:

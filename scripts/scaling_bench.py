@@ -107,6 +107,20 @@ def main():
     kg_lo = kg(n_low)
     kg_hi = kg(n_high)
 
+    # Capacity-cell sanity (round-3 lesson: one contended capacity run
+    # published "normalized efficiency 2.062" — nonsense, since the
+    # pipeline cannot beat the machine's embarrassingly-parallel ideal
+    # by 2x). If either capacity cell looks contaminated (speedup far
+    # outside the box's measured 1.1-1.5x band), re-measure up to twice
+    # and keep the per-cell best: contention only ever inflates wall.
+    for _ in range(2):
+        capacity_speedup = cap_lo["sec"] / cap_hi["sec"]
+        if 0.9 <= capacity_speedup <= 2.0:
+            break
+        re_lo, re_hi = best_of(lambda: cap(n_low)), best_of(lambda: cap(n_high))
+        cap_lo = min(cap_lo, re_lo, key=lambda d: d["sec"])
+        cap_hi = min(cap_hi, re_hi, key=lambda d: d["sec"])
+
     pipeline_speedup = kg_lo["sec"] / kg_hi["sec"]
     capacity_speedup = cap_lo["sec"] / cap_hi["sec"]
     eff_raw = pipeline_speedup / factor
@@ -142,6 +156,29 @@ def main():
         f.write("\n" + (manual or marker + "\n"))
 
 
+def _caution(r: dict) -> str:
+    """Flag physically-implausible cells so a contaminated run can't
+    publish a clean-looking headline (round-3 "2.062" lesson)."""
+    notes = []
+    if not (0.9 <= r["capacity_speedup"] <= 2.0):
+        notes.append(
+            f"capacity speedup {r['capacity_speedup']}x is outside the "
+            "box's measured 1.1-1.5x band even after re-measurement — "
+            "treat the normalized figure as contaminated and re-run on "
+            "an idle box"
+        )
+    if r["eff_normalized"] > 1.2:
+        notes.append(
+            f"normalized efficiency {r['eff_normalized']} > 1.2 is "
+            "physically implausible (pipeline cannot beat the "
+            "embarrassingly-parallel ideal) — a capacity cell ran "
+            "contended; re-run on an idle box"
+        )
+    if not notes:
+        return ""
+    return "\n" + "\n".join(f"- **CAUTION:** {n}" for n in notes)
+
+
 def _render(r: dict) -> str:
     return f"""# BENCH — scaling evidence (N vs {r['n_high'] // r['n_low']}N)
 
@@ -161,6 +198,7 @@ protocol).
 - machine capacity speedup (embarrassingly parallel sha1): **{r['capacity_speedup']}x**
 - raw efficiency (speedup/{r['n_high'] // r['n_low']}): **{r['eff_raw']}**
 - **capacity-normalized efficiency (pipeline/capacity): {r['eff_normalized']}**
+{_caution(r)}
 
 ## Why capacity-normalized
 

@@ -85,6 +85,37 @@ def test_query_matches_oracle(spark, duck, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+def test_suite_stringify_escaping(spark, duck):
+    """ADVICE r3: the suite '|'-join must keep column boundaries
+    unambiguous. Adversarial values — embedded '|', literal '\\N',
+    backslashes, real NULL — must (a) stringify identically on both
+    engines and (b) never let two different rows collide."""
+    from pyspark.sql import functions as F
+
+    vals = [("a|b", "c"), ("a", "b|c"), ("\\N", "x"), (None, "x"),
+            ("back\\slash", "\\"), ("plain", None)]
+    sdf = spark.createDataFrame(vals, "c1 string, c2 string").select(
+        F.concat_ws(
+            "|", Q._suite_esc_col(F.col("c1")), Q._suite_esc_col(F.col("c2"))
+        ).alias("out")
+    )
+    got = sorted(r["out"] for r in sdf.collect())
+    values_sql = ", ".join(
+        "(" + ", ".join("NULL" if v is None else "'" + v + "'"
+                        for v in row) + ")"
+        for row in vals
+    )
+    want = sorted(
+        r[0] for r in duck.execute(
+            f"SELECT {Q._suite_esc_sql('c1')} || '|' || {Q._suite_esc_sql('c2')} "
+            f"FROM (VALUES {values_sql}) AS t(c1, c2)"
+        ).fetchall()
+    )
+    assert got == want
+    # no collisions: 6 distinct input rows -> 6 distinct stringifications
+    assert len(set(got)) == len(vals)
+
+
 def test_rows_only_queries_run(spark):
     for name in [
         "k1_uuid5_mint", "dedup_simhash_pairs", "dedup_embedding_neardup",
