@@ -36,7 +36,18 @@ HEADLINE = [
 ]
 
 
-def build_session(cpus: int):
+def default_driver_mem(kg_scale: int) -> str:
+    """Heap sizing rule (BENCH.md round-3 memory finding): the 4x corpus
+    (scale 16, 18.7M triples) OOMs a 16 GB single-JVM heap — in local
+    mode all N concurrent tasks share one heap, and the giant-document
+    sort/aggregate buffers plus localCheckpoint blocks need roughly
+    2 GB per kg_scale unit (~1 GB per 3 datasets / ~0.6M triples at the
+    bench document mix). On a real cluster this is ordinary per-executor
+    sizing (4-8 GB per executor core at this document size)."""
+    return f"{max(12, 2 * kg_scale)}g"
+
+
+def build_session(cpus: int, kg_scale: int = 1):
     from pyspark.sql import SparkSession
 
     return (
@@ -45,7 +56,9 @@ def build_session(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(8, 2 * cpus)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+                or default_driver_mem(kg_scale))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # the parquet-staged corpus is a few dozen ~MB files: default
         # file packing (128m target + 4m open cost) would coalesce them
@@ -135,7 +148,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     kg_scale = int(os.environ.get("SPARK_GRAFT_KG_SCALE", "4"))
-    spark = build_session(cpus)
+    spark = build_session(cpus, kg_scale)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         out = run_bench(spark, sf_dir, kg_scale)

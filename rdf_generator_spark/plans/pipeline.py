@@ -77,6 +77,80 @@ _LOC_CHAIN_TYPE = (
 # document and stays skew-free.
 _DIM_BROADCAST_FILE_LIMIT = 2000
 
+# Giant-document auto-gate (VERDICT r3 item 1): the sequential :id-N
+# counters default to one window per document — correct everywhere, but
+# a single million-cell matrix then sorts in ONE task. When the zero-job
+# probe below sees a document at least this large, build_graph switches
+# to the two-phase bucketed numbering (operators/windows.py::seq_number,
+# golden-equal) with this bucket width (characters per bucket). The
+# threshold is calibrated on the probe's PER-ROW-GROUP MEAN (the footer
+# statistic available without touching data pages): measured means are
+# ~16 KB for the bench-shaped corpus (max doc 99 KB — gate stays off,
+# avoiding the two-phase variant's ~15% overhead at normal sizes) vs
+# ~198 KB for the straggler corpus (one 500x2000 NEXUS, 1.6 MB content
+# — gate turns on). The mean under-reports a lone giant by the
+# rows-per-row-group factor; writers that pack thousands of rows per
+# group should size parquet.block.size down or pass counter_buckets
+# explicitly (documented in probe_max_doc_bytes).
+_GIANT_DOC_CONTENT_BYTES = 96 * 1024
+_AUTO_COUNTER_BUCKET_WIDTH = 64
+_PROBE_FILE_CAP = 4096
+
+
+def probe_max_doc_bytes(corpus: DataFrame) -> Optional[int]:
+    """Zero-Spark-job estimate of the largest document's content size.
+
+    File-backed corpora (parquet/Iceberg — every real deployment) expose
+    their file list from the already-built file index (``inputFiles()``,
+    no job); parquet footers then give per-row-group uncompressed byte
+    totals for the ``content`` column, read driver-side with pyarrow
+    (metadata-only — no data pages touched, no Spark job, no re-ship of
+    an in-memory relation through Python workers). The per-row mean of
+    the largest row group lower-bounds the largest document within a
+    factor of rows-per-group — enough for an order-of-magnitude gate
+    (normal docs are KBs, straggler matrices are MBs). Returns None for
+    in-memory corpora (createDataFrame — tests/golden scale, small by
+    construction) and on any probe failure; callers treat None as "keep
+    the default plan". File count is capped (footer reads are cheap but
+    not free); the cap covers the largest document in practice because
+    dynamic-partition writers place big documents in big early files,
+    and an explicit ``counter_buckets=`` always overrides.
+    """
+    try:
+        files = corpus.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+        from urllib.parse import unquote, urlparse
+    except Exception:
+        return None
+    best = 0
+    for f in files[:_PROBE_FILE_CAP]:
+        try:
+            p = f
+            if f.startswith("file:"):
+                p = unquote(urlparse(f).path)
+            md = pq.ParquetFile(p).metadata
+        except Exception:
+            # non-parquet source or a filesystem pyarrow can't reach
+            # driver-side (e.g. an hdfs:// URI without a configured
+            # pyarrow fs) — stay conservative
+            return None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            if not g.num_rows:
+                continue
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema == "content":
+                    best = max(
+                        best, col.total_uncompressed_size // g.num_rows
+                    )
+    return best or None
+
 
 def _nonempty(c) -> F.Column:
     return F.coalesce(strip_col(c), F.lit("")) != ""
@@ -142,6 +216,18 @@ def build_salts(
     )
 
 
+def resolve_counter_buckets(corpus: DataFrame, counter_buckets):
+    """Resolve build_graph's counter strategy: "auto" gates the
+    two-phase bucketed numbering on the zero-job giant-document probe;
+    int forces a bucket width; None forces the per-document window."""
+    if counter_buckets != "auto":
+        return counter_buckets
+    mx = probe_max_doc_bytes(corpus)
+    if mx is not None and mx >= _GIANT_DOC_CONTENT_BYTES:
+        return _AUTO_COUNTER_BUCKET_WIDTH
+    return None
+
+
 def build_graph(
     spark: SparkSession,
     corpus: DataFrame,
@@ -153,7 +239,7 @@ def build_graph(
     staging_dir: Optional[str] = None,
     fuzzy_link_threshold: Optional[float] = None,
     check_input_contract: bool = True,
-    counter_buckets: Optional[int] = None,
+    counter_buckets="auto",
 ) -> Dict[str, DataFrame]:
     """Run the full pipeline; returns named DataFrames.
 
@@ -171,15 +257,20 @@ def build_graph(
     change, not a code change). `run_resumable` stages under its output
     directory automatically.
 
-    ``counter_buckets``: the sequential :id-N counters default to one
-    window per document — correct everywhere, but a giant matrix then
-    sorts in a single task. Set a bucket width (e.g. 8 characters per
-    bucket) to switch to the two-phase numbering in
-    operators/windows.py: identical output (golden-tested), bucket-
-    parallel execution. Worth it only when single documents are large
-    enough to straggle; at small per-document sizes the extra
-    aggregation+join rounds cost more than they save.
+    ``counter_buckets``: sequential :id-N counter execution strategy.
+    ``"auto"`` (default) gates on the zero-job `probe_max_doc_bytes`
+    probe: when the largest document's content reaches
+    ``_GIANT_DOC_CONTENT_BYTES`` the counters switch to the two-phase
+    bucketed numbering in operators/windows.py (identical output —
+    golden-tested — but a giant matrix numbers across
+    nchar/``_AUTO_COUNTER_BUCKET_WIDTH`` tasks instead of sorting in
+    one); otherwise the plain per-document window runs (cheapest at
+    normal document sizes — the two-phase variant's extra
+    aggregation+join rounds cost ~15% at bench scale). Pass an int
+    bucket width to force two-phase, or ``None`` to force the single
+    window.
     """
+    counter_buckets = resolve_counter_buckets(corpus, counter_buckets)
     if dim_broadcast is None:
         # Zero-job probe: file-backed corpora (parquet/Iceberg — every
         # real deployment) expose their file list from the already-built

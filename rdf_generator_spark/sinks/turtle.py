@@ -433,6 +433,64 @@ def write_turtle_shards(
     return {"n_shards": len(manifest), "manifest": manifest}
 
 
+# Size gates for automatic writer selection (VERDICT r3 item 4): the
+# reference-parity single-file paths collect/iterate on the driver —
+# fine at golden scale, a driver bottleneck past it. Above these bounds
+# the distributed variants (same rendered text, executor-side writes)
+# are selected automatically; both remain callable directly.
+_AUTO_SHARD_TRIPLES = 2_000_000
+_AUTO_DISTRIBUTED_SPECIES = 200
+
+
+def write_turtle_auto(
+    triples: DataFrame,
+    out_dir: str,
+    n_triples: int = None,
+    n_shards: int = 8,
+    threshold: int = _AUTO_SHARD_TRIPLES,
+    salt_groups: int = 64,
+) -> dict:
+    """Size-gated Turtle output: per-document single files (reference
+    parity, driver-streamed) below `threshold` triples, ordered range
+    shards (`write_turtle_shards`) above it. Pass ``n_triples`` when the
+    count is already known (run_pipeline counts for its stats line) to
+    avoid a probe job. Returns {'mode', 'n_triples', ...}."""
+    import os
+    import re
+
+    if n_triples is None:
+        n_triples = triples.count()
+    if n_triples > threshold:
+        info = write_turtle_shards(
+            triples, out_dir, n_shards=n_shards, salt_groups=salt_groups
+        )
+        return {"mode": "shards", "n_triples": n_triples, **info}
+    os.makedirs(out_dir, exist_ok=True)
+
+    def path_fn(repo, commit):
+        safe = re.sub(r"[^A-Za-z0-9._-]", "_", f"{repo}@{commit[:12]}")
+        return os.path.join(out_dir, f"{safe}.ttl")
+
+    n_docs = write_turtle(triples, path_fn, salt_groups=salt_groups)
+    return {"mode": "per-document", "n_triples": n_triples, "n_docs": n_docs}
+
+
+def write_species_files_auto(
+    result: dict, out_dir: str, threshold: int = _AUTO_DISTRIBUTED_SPECIES
+) -> dict:
+    """Size-gated S2: driver-side per-species writer below `threshold`
+    species (reference parity), executor-side distributed writer above.
+    The species count probe runs on the (small) species partition."""
+    n_species = (
+        _species_joined(result).select("taxon_label").distinct().count()
+    )
+    if n_species > threshold:
+        n = write_species_files_distributed(result, out_dir)
+        return {"mode": "distributed", "n_species": n}
+    n = write_species_files(result, out_dir)
+    return {"mode": "driver", "n_species": n}
+
+
 def write_turtle(triples: DataFrame, out_path_fn, salt_groups: int = 64) -> int:
     """Write one .ttl per document. ``out_path_fn(repo, commit) -> path``.
     Returns number of documents written. Ordered streaming per document

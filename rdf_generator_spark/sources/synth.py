@@ -197,17 +197,25 @@ def synth_corpus_rows(
     seed: int = 42,
     giant_every: int = 0,
     giant_scale: int = 10,
+    giant_shape: Tuple[int, int] = None,
 ) -> List[tuple]:
     """Corpus rows for `n_datasets` repos. With ``giant_every=k`` every
-    k-th dataset is `giant_scale`x larger in both dimensions (skew knob)."""
+    k-th dataset is `giant_scale`x larger in both dimensions (skew knob);
+    ``giant_shape=(ntax, nchar)`` overrides the giant's dimensions
+    explicitly (e.g. ``(500, 2000)`` for the straggler probe — one
+    million-cell NEXUS among normal documents)."""
     rng = random.Random(seed)
     rows: List[tuple] = []
     vocab_labels: dict = {}
     datasets = []
     for d in range(n_datasets):
         big = giant_every and (d % giant_every == giant_every - 1)
-        f = giant_scale if big else 1
-        datasets.append(make_dataset(rng, ntax * f, nchar * f, vocab_labels))
+        if big and giant_shape:
+            g_ntax, g_nchar = giant_shape
+        else:
+            f = giant_scale if big else 1
+            g_ntax, g_nchar = ntax * f, nchar * f
+        datasets.append(make_dataset(rng, g_ntax, g_nchar, vocab_labels))
     owl = make_vocab_owl(vocab_labels, rng)
     for d, (cj, nx, sp, mc) in enumerate(datasets):
         repo = f"synth/dataset-{d:04d}"

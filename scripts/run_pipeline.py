@@ -136,10 +136,17 @@ def main(argv=None) -> int:
         stats["scopes"] = conformance.count()
         stats["violations"] = violations.count()
     if args.ttl:
-        from rdf_generator_spark.sinks.turtle import write_turtle_shards
+        # size-gated writer selection: per-document reference-parity
+        # files at small scale, ordered range shards above the bound
+        # (sinks/turtle.py::write_turtle_auto); reuses the stats count
+        from rdf_generator_spark.sinks.turtle import write_turtle_auto
 
-        info = write_turtle_shards(triples, os.path.join(args.out, "ttl"))
-        stats["ttl_shards"] = info["n_shards"]
+        info = write_turtle_auto(
+            triples, os.path.join(args.out, "ttl"),
+            n_triples=stats.get("triples"),
+        )
+        stats["ttl_mode"] = info["mode"]
+        stats["ttl_files"] = info.get("n_shards", info.get("n_docs"))
 
     stats["wall_sec"] = round(time.perf_counter() - t0, 2)
     print(json.dumps(stats))

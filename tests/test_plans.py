@@ -147,3 +147,43 @@ def test_final_graph_plan_is_jvm_only(spark):
         plan = plan_of(res[key])
         assert "BatchEvalPython" not in plan, key
         assert "MapInPandas" not in plan, key
+
+
+def test_counter_bucket_auto_gate(spark, tmp_path):
+    """VERDICT r3 item 1: the giant-document probe must (a) run zero
+    Spark jobs, (b) stay off for normal file-backed corpora and
+    in-memory corpora, (c) turn the two-phase counters on when a
+    straggler-sized document is present."""
+    from rdf_generator_spark.plans.pipeline import (
+        _AUTO_COUNTER_BUCKET_WIDTH,
+        probe_max_doc_bytes,
+        resolve_counter_buckets,
+    )
+    from rdf_generator_spark.sources.corpus import corpus_df
+    from rdf_generator_spark.sources.synth import synth_corpus_rows
+
+    normal = synth_corpus_rows(n_datasets=4, ntax=10, nchar=10, seed=7)
+    skew = synth_corpus_rows(
+        n_datasets=4, ntax=10, nchar=10, seed=7,
+        giant_every=4, giant_shape=(500, 2000),
+    )
+
+    def staged(rows, name):
+        corpus_df(spark, rows).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+        return spark.read.parquet(str(tmp_path / name))
+
+    c_norm, c_skew = staged(normal, "n"), staged(skew, "s")
+    mem = corpus_df(spark, normal)
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    assert probe_max_doc_bytes(mem) is None
+    assert resolve_counter_buckets(c_norm, "auto") is None
+    assert resolve_counter_buckets(c_skew, "auto") == _AUTO_COUNTER_BUCKET_WIDTH
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "probe must not launch Spark jobs"
+    # explicit settings always win
+    assert resolve_counter_buckets(c_skew, None) is None
+    assert resolve_counter_buckets(c_norm, 8) == 8

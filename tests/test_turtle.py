@@ -169,3 +169,59 @@ def test_shard_writer_matches_single_file(spark, tmp_path):
         for r in res["triples"].collect()
     }
     assert got == want
+
+
+def test_shard_writer_rerun_is_byte_identical(spark, tmp_path):
+    """Resume idempotency (VERDICT r3 item 4): re-running the shard
+    writer on the same triples produces a byte-identical shard set —
+    range partitioning + in-partition sort are deterministic, so a
+    retried/resumed write can safely overwrite in place."""
+    from rdf_generator_spark.sinks.turtle import write_turtle_shards
+
+    res = build_graph(spark, golden_corpus_df(spark))
+    a, b = tmp_path / "s1", tmp_path / "s2"
+    i1 = write_turtle_shards(res["triples"], str(a), n_shards=4)
+    i2 = write_turtle_shards(res["triples"], str(b), n_shards=4)
+    assert i1["n_shards"] == i2["n_shards"]
+    f1, f2 = sorted(os.listdir(a)), sorted(os.listdir(b))
+    assert f1 == f2
+    for name in f1:
+        assert (a / name).read_bytes() == (b / name).read_bytes(), name
+
+
+def test_write_turtle_auto_selects_by_size(spark, tmp_path):
+    """Below the threshold the auto writer emits reference-parity
+    per-document files; above it (forced low here) it shards."""
+    from rdf_generator_spark.sinks.turtle import write_turtle_auto
+
+    res = build_graph(spark, golden_corpus_df(spark))
+    small = write_turtle_auto(res["triples"], str(tmp_path / "small"))
+    assert small["mode"] == "per-document" and small["n_docs"] == 1
+    ttl = [p for p in os.listdir(tmp_path / "small") if p.endswith(".ttl")]
+    assert len(ttl) == 1
+    big = write_turtle_auto(
+        res["triples"], str(tmp_path / "big"), threshold=10
+    )
+    assert big["mode"] == "shards" and big["n_shards"] >= 1
+    # same triples either way
+    a = parse_turtle(open(tmp_path / "small" / ttl[0]).read())
+    parts = sorted(
+        p for p in os.listdir(tmp_path / "big") if p.startswith("part-")
+    )
+    text = open(tmp_path / "big" / "header.ttl").read() + "".join(
+        open(tmp_path / "big" / p).read() for p in parts
+    )
+    assert parse_turtle(text) == a
+
+
+def test_write_species_files_auto(spark, tmp_path):
+    from rdf_generator_spark.sinks.turtle import write_species_files_auto
+
+    res = build_graph(spark, golden_corpus_df(spark))
+    drv = write_species_files_auto(res, str(tmp_path / "drv"))
+    assert drv == {"mode": "driver", "n_species": 10}
+    dist = write_species_files_auto(res, str(tmp_path / "dist"), threshold=2)
+    assert dist == {"mode": "distributed", "n_species": 10}
+    assert sorted(os.listdir(tmp_path / "drv")) == sorted(
+        os.listdir(tmp_path / "dist")
+    )
