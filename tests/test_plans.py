@@ -187,3 +187,23 @@ def test_counter_bucket_auto_gate(spark, tmp_path):
     # explicit settings always win
     assert resolve_counter_buckets(c_skew, None) is None
     assert resolve_counter_buckets(c_norm, 8) == 8
+
+
+def test_fuzzy_match_plan_is_gram_bucketed(spark):
+    """j1_fuzzy_fill's engine (fuzzy_match_labels) must generate
+    candidates through the n-gram equi-join — a broadcast hash join on
+    the gram key — never an all-pairs comparison."""
+    from pyspark.sql import functions as F
+
+    from rdf_generator_spark.operators.linking import fuzzy_match_labels
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    mentions = n.select(F.concat(F.col("n_name"), F.lit("x")).alias("label"))
+    vocab = n.select(
+        F.lower(F.col("n_name")).alias("norm_label"),
+        F.concat(F.lit("uri:"), F.col("n_name")).alias("uri"),
+    )
+    plan = plan_of(fuzzy_match_labels(mentions, vocab))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
