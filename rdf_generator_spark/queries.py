@@ -1469,3 +1469,68 @@ ORACLES["j1_fuzzy_fill"] = """
 """
 
 QUERIES["j1_fuzzy_fill"] = j1_fuzzy_fill
+
+
+def text_vocab_top(spark, sf_dir):
+    """Corpus vocabulary build (tokenizer shape): global token counts,
+    min_count floor, deterministic top-N (textops/analysis.py::
+    build_vocab; TakeOrderedAndProject top-N, single bounded shuffle)."""
+    from rdf_generator_spark.textops.analysis import build_vocab
+
+    return build_vocab(
+        _t(spark, sf_dir, "documents"), min_count=2, top_n=200
+    )
+
+
+ORACLES["text_vocab_top"] = """
+    WITH toks AS (
+        SELECT lower(t.tok) AS tok
+        FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    c AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks
+        GROUP BY tok HAVING COUNT(*) >= 2
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank, tok, cnt
+    FROM c
+    QUALIFY rank <= 200
+"""
+
+QUERIES["text_vocab_top"] = text_vocab_top
+
+
+def text_repetition_score(spark, sf_dir):
+    """Intra-document 3-gram repetition quality signal
+    (textops/analysis.py::repetition_score) — integer-exact per-row
+    array algebra, no shuffle."""
+    from rdf_generator_spark.textops.analysis import repetition_score
+
+    return repetition_score(_t(spark, sf_dir, "documents"), n=3)
+
+
+ORACLES["text_repetition_score"] = """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, GREATEST(len(ts) - 3, 0) + 1),
+                   i -> array_to_string(
+                       ts[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))
+                 AS gs
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(len(gs) AS INT) AS n_ngrams,
+           CAST(len(list_distinct(gs)) AS INT) AS n_uniq_ngrams,
+           CAST(FLOOR(1000 * (len(gs) - len(list_distinct(gs)))
+                      / GREATEST(len(gs), 1)) AS BIGINT) AS dup_ratio_x1000
+    FROM g
+"""
+
+QUERIES["text_repetition_score"] = text_repetition_score

@@ -161,6 +161,75 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    top_n: int = 1000,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus token vocabulary (the tokenizer-building shape): global
+    whitespace-token counts -> ``min_count`` floor -> deterministic
+    top-``top_n`` ranked by (count desc, token asc).
+
+    Scale shape: the single shuffle is the token groupBy, bounded by
+    the distinct-token count with map-side partial aggregation; the
+    top-N compiles to TakeOrderedAndProject (per-partition partial
+    top-N merged on the driver — no global sort, no single-partition
+    window), and the rank window runs over <= top_n surviving rows.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    )
+    if lowercase:
+        toks = toks.select(F.lower(F.col("tok")).alias("tok"))
+    counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    top = counts.orderBy(F.desc("cnt"), "tok").limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "tok", "cnt"
+    )
+
+
+def repetition_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Intra-document n-gram repetition (the C4/RefinedWeb-style
+    boilerplate signal): per document, total vs distinct n-gram
+    occurrences and the duplicated fraction, integer-exact
+    (``dup_ratio_x1000 = floor(1000*(total-distinct)/total)``).
+
+    Pure per-row array algebra — no explode, no shuffle; follows the
+    same short-document convention as `fingerprint` (documents shorter
+    than ``n`` tokens yield one truncated gram), so the DuckDB twin is
+    bit-identical.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        distinct.alias("n_uniq_ngrams"),
+        F.floor(
+            1000 * (total - distinct).cast("bigint")
+            / F.greatest(total, F.lit(1))
+        ).cast("bigint").alias("dup_ratio_x1000"),
+    )
+
+
 def contamination_pairs(
     docs: DataFrame,
     benchmark: DataFrame,

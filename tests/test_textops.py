@@ -361,3 +361,32 @@ def test_decontaminate(spark):
     assert (1, 100) in pairs and all(d != 2 for d, _ in pairs)
     kept = {r["doc_id"] for r in analysis.decontaminate(docs, bench, n=13).collect()}
     assert kept == {2, 3}
+
+
+def test_build_vocab(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a a B c"), (2, "a b rare"), (3, "  a  ")],
+        ["doc_id", "text"],
+    )
+    got = [tuple(r) for r in analysis.build_vocab(docs, min_count=2, top_n=10).collect()]
+    # counts: a=4 (lowercased), b=3, c/rare=1 (dropped by min_count)
+    assert got == [(1, "a", 4), (2, "b", 3)]
+    # top_n cuts deterministically on (count desc, token asc)
+    got1 = [r["tok"] for r in analysis.build_vocab(docs, min_count=1, top_n=3).collect()]
+    assert got1 == ["a", "b", "c"]  # c before rare on the count-1 tie
+
+
+def test_repetition_score(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x x x x x"),       # all 3-grams identical -> 4 total, 1 uniq
+         (2, "a b c d e"),         # all distinct
+         (3, "a b"),               # shorter than n -> one truncated gram
+         (4, "")],                 # empty -> one "" gram (house convention)
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["n_ngrams"], r["n_uniq_ngrams"], r["dup_ratio_x1000"])
+           for r in analysis.repetition_score(docs, n=3).collect()}
+    assert got[1] == (4, 1, 750)
+    assert got[2] == (3, 3, 0)
+    assert got[3] == (1, 1, 0)
+    assert got[4] == (1, 1, 0)
