@@ -1534,3 +1534,34 @@ ORACLES["text_repetition_score"] = """
 """
 
 QUERIES["text_repetition_score"] = text_repetition_score
+
+
+def text_stratified_sample(spark, sf_dir):
+    """Per-stratum quota sampling (training-mix shape): at most 30 docs
+    per source, selected by smallest md5(seed:doc_id) — deterministic
+    and retry-stable (textops/sampling.py::stratified_sample).
+    Registered as an EXTRA entry (pytest-oracled) to preserve
+    driver-window headroom."""
+    from rdf_generator_spark.textops.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(d, "source", cap=30, seed=7)
+
+
+ORACLES["text_stratified_sample"] = """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) t WHERE rk <= 30
+"""
+
+QUERIES["text_stratified_sample"] = text_stratified_sample
+
+# keep the driver window at 48: the stratified-sample entry is
+# pytest-oracled EXTRA coverage
+QUERIES_EXTRA["text_stratified_sample"] = QUERIES.pop("text_stratified_sample")
+ORACLES_EXTRA["text_stratified_sample"] = ORACLES.pop("text_stratified_sample")

@@ -37,6 +37,35 @@ def deterministic_sample(
     return df.filter(_hash32(F.col(key_col), seed) < F.lit(threshold))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    cap: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum quota (the training-mix shape: at most
+    ``cap`` documents per source/domain/language bucket): keep the
+    ``cap`` rows of each stratum with the smallest md5(seed:key), ties
+    broken by the key itself.
+
+    Like `deterministic_sample`, selection is a pure function of
+    (seed, key) — retries, repartitionings, and resumed jobs pick the
+    identical rows, and growing a stratum only ever displaces rows at
+    the quota boundary. One shuffle on the stratum key; the rank
+    window sorts within a stratum only. For strata so large that even
+    one stratum's sort is a straggler, pre-thin with
+    `deterministic_sample(fraction ~ cap/stratum_estimate)` first —
+    composition preserves determinism."""
+    hx = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(hx, F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,

@@ -390,3 +390,26 @@ def test_repetition_score(spark):
     assert got[2] == (3, 3, 0)
     assert got[3] == (1, 1, 0)
     assert got[4] == (1, 1, 0)
+
+
+def test_stratified_sample(spark):
+    from rdf_generator_spark.textops.sampling import stratified_sample
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = stratified_sample(df, "source", cap=5, seed=1).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(v) == 5 for v in by_src.values()) and len(by_src) == 3
+    # deterministic: same selection on re-run and after repartition
+    again = stratified_sample(df.repartition(7), "source", cap=5, seed=1).collect()
+    assert {(r["doc_id"], r["source"]) for r in again} == {
+        (r["doc_id"], r["source"]) for r in got
+    }
+    # growing a stratum only displaces at the quota boundary
+    bigger = spark.createDataFrame(rows + [(100, "s0")], ["doc_id", "source"])
+    g2 = {r["doc_id"] for r in
+          stratified_sample(bigger, "source", cap=5, seed=1).collect()
+          if r["source"] == "s0"}
+    assert len(g2) == 5 and len(g2 - by_src["s0"]) <= 1
