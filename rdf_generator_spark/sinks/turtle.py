@@ -468,8 +468,15 @@ def write_turtle_auto(
     os.makedirs(out_dir, exist_ok=True)
 
     def path_fn(repo, commit):
+        # sanitization maps '/' and '@' to '_', so distinct documents
+        # (repo 'a/b' vs 'a_b' at one commit) could collide on the same
+        # .ttl path and silently overwrite (ADVICE r4); an 8-hex digest
+        # of the UNsanitized identity keeps every path distinct
+        import hashlib
+
         safe = re.sub(r"[^A-Za-z0-9._-]", "_", f"{repo}@{commit[:12]}")
-        return os.path.join(out_dir, f"{safe}.ttl")
+        tag = hashlib.sha1(f"{repo}\x00{commit}".encode()).hexdigest()[:8]
+        return os.path.join(out_dir, f"{safe}-{tag}.ttl")
 
     n_docs = write_turtle(triples, path_fn, salt_groups=salt_groups)
     return {"mode": "per-document", "n_triples": n_triples, "n_docs": n_docs}

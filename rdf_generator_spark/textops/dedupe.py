@@ -187,10 +187,17 @@ def near_dup_groups(
     shingle_k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    cc_max_iters: int = 30,
+    strict: bool = True,
 ) -> DataFrame:
     """The canonical corpus-dedup composition: MinHash-LSH candidate
     generation -> exact Jaccard verification on candidates only ->
     connected components over verified pairs -> one keeper per group.
+
+    ``strict=True`` (default — this is a production path): if the
+    contraction budget is exhausted before the component fixpoint is
+    verified, raise instead of shipping keeper groups that may be only
+    partially merged (VERDICT r4 item 5).
 
     Returns (doc_id, keeper, group_size>=2 rows only). Pairwise work is
     confined to LSH buckets and the verify join touches candidates only
@@ -220,7 +227,7 @@ def near_dup_groups(
         )
         .select(F.col("d1").cast("string").alias("a"), F.col("d2").cast("string").alias("b"))
     )
-    cc = connected_components(verified)
+    cc = connected_components(verified, max_iters=cc_max_iters, strict=strict)
     return (
         cc.select(F.col("node").alias(id_col), F.col("canon").alias("keeper"))
         .join(

@@ -29,7 +29,18 @@ def main(argv=None) -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--dataset-id", default=None)
     ap.add_argument("--resume", action="store_true")
-    ap.add_argument("--ttl", action="store_true", help="also write Turtle shards")
+    ap.add_argument("--ttl", action="store_true",
+                    help="also write Turtle under OUT/ttl. Layout is "
+                         "size-gated (read stats['ttl_mode']): below 2M "
+                         "triples per-document <repo>@<commit>-<hash8>.ttl "
+                         "files, above it header.ttl + part-*.ttl shards; "
+                         "--ttl-layout forces one layout for consumers "
+                         "that depend on it")
+    ap.add_argument("--ttl-layout", choices=["auto", "shards", "per-document"],
+                    default="auto",
+                    help="force the --ttl output layout instead of the "
+                         "size gate (ADVICE r4: the pre-round-4 fixed "
+                         "shard layout is --ttl-layout shards)")
     ap.add_argument("--validate", action="store_true", help="write violations parquet")
     ap.add_argument("--canonicalize", action="store_true",
                     help="apply species same-as connected-components mapping")
@@ -111,7 +122,12 @@ def main(argv=None) -> int:
 
         edges = species_same_as_edges(triples)
         if not edges.isEmpty():
-            triples = apply_canonical_mapping(triples, connected_components(edges))
+            # strict: an exhausted contraction budget must fail the batch
+            # run, not ship a partially-merged canonical table behind a
+            # RuntimeWarning lost in Spark log noise (ADVICE r4)
+            triples = apply_canonical_mapping(
+                triples, connected_components(edges, strict=True)
+            )
 
     if args.resume:
         if args.canonicalize:
@@ -138,12 +154,17 @@ def main(argv=None) -> int:
     if args.ttl:
         # size-gated writer selection: per-document reference-parity
         # files at small scale, ordered range shards above the bound
-        # (sinks/turtle.py::write_turtle_auto); reuses the stats count
+        # (sinks/turtle.py::write_turtle_auto); reuses the stats count.
+        # --ttl-layout pins one layout for downstream consumers that
+        # depend on a fixed file structure (ADVICE r4).
         from rdf_generator_spark.sinks.turtle import write_turtle_auto
 
+        thresholds = {"auto": None, "shards": 0, "per-document": 2 ** 62}
+        forced = thresholds[args.ttl_layout]
+        kw = {} if forced is None else {"threshold": forced}
         info = write_turtle_auto(
             triples, os.path.join(args.out, "ttl"),
-            n_triples=stats.get("triples"),
+            n_triples=stats.get("triples"), **kw,
         )
         stats["ttl_mode"] = info["mode"]
         stats["ttl_files"] = info.get("n_shards", info.get("n_docs"))

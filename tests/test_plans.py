@@ -189,6 +189,54 @@ def test_counter_bucket_auto_gate(spark, tmp_path):
     assert resolve_counter_buckets(c_norm, 8) == 8
 
 
+def test_probe_exact_fallback_packed_row_group(spark, tmp_path):
+    """VERDICT r4 item 2: a writer that packs one giant document into a
+    row group with thousands of small rows keeps the footer MEAN tiny —
+    the pre-round-5 probe missed the giant and the 592 s straggler
+    returned. The hardened probe detects the ambiguity from the group's
+    TOTAL content bytes (a giant row forces total >= its own size, even
+    dictionary-encoded) and settles it with ONE memoized column-pruned
+    max(octet_length) job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_generator_spark.plans.pipeline import (
+        _AUTO_COUNTER_BUCKET_WIDTH,
+        _PROBE_EXACT_CACHE,
+        probe_max_doc_bytes,
+        resolve_counter_buckets,
+    )
+
+    n = 4000
+    giant = 1600 * 1024
+    tbl = pa.table(
+        {
+            "repo": [f"r{i}" for i in range(n)] + ["giant"],
+            "path": ["chars.json"] * (n + 1),
+            "commit": ["c"] * (n + 1),
+            "lang": ["json"] * (n + 1),
+            "content": [f"x{i:04d}" * 128 for i in range(n)] + ["y" * giant],
+        }
+    )
+    p = str(tmp_path / "packed.parquet")
+    pq.write_table(tbl, p, row_group_size=n + 1)
+    md = pq.ParquetFile(p).metadata
+    assert md.num_row_groups == 1  # the packing the probe must survive
+    df = spark.read.parquet(p)
+
+    _PROBE_EXACT_CACHE.clear()
+    got = probe_max_doc_bytes(df)
+    assert got == (giant, True)  # exact job ran and found the giant
+    assert resolve_counter_buckets(df, "auto") == _AUTO_COUNTER_BUCKET_WIDTH
+    # allow_job=False degrades to the conservative footer mean (off)
+    assert probe_max_doc_bytes(df, allow_job=False)[1] is False
+    # memoized: a second probe of the same file list launches no job
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    assert probe_max_doc_bytes(df) == (giant, True)
+    assert len(tracker.getJobIdsForGroup(None) or []) == before
+
+
 def test_fuzzy_match_plan_is_gram_bucketed(spark):
     """j1_fuzzy_fill's engine (fuzzy_match_labels) must generate
     candidates through the n-gram equi-join — a broadcast hash join on

@@ -113,3 +113,51 @@ def test_spark_build_salts_matches_refsim(spark):
     }
     assert got4[("r", "c")] == "input::m.json"
     assert got4[("r2", "c2")] is None
+
+
+def test_reference_shipped_namespace_assertions_hold_on_prefix_block():
+    """Replay tests/test_main.py::test_graph_building (reference repo,
+    reference-author-written): every namespace prefix the reference's
+    build_base_graph must bind has to appear in the O4 prefix block
+    (sinks/turtle.py::_PREFIX_BLOCK via terms.PREFIXES), bound to the
+    exact namespace IRI main.py:72-87 declares (VERDICT r4 item 6)."""
+    from rdf_generator_spark import terms as T
+    from rdf_generator_spark.sinks.turtle import _PREFIX_BLOCK
+
+    # the reference test's expected_namespaces list, verbatim
+    # (/root/reference/tests/test_main.py:65-77)
+    expected = [
+        "bfo", "cdao", "dc", "dwc", "iao", "kb", "obo",
+        "owl", "pato", "phb", "rdf", "rdfs", "ro", "txr", "uberon",
+    ]
+    bound = dict(T.PREFIXES)
+    for ns in expected:
+        assert ns in bound, f"Namespace {ns} missing in base graph"
+
+    # and each prefix the reference binds (main.py:72-87, 367-388) maps
+    # to the identical IRI in the rendered O4 block
+    ref_iris = {
+        "bfo": "http://purl.obolibrary.org/obo/BFO_",
+        "cdao": "http://purl.obolibrary.org/obo/CDAO_",
+        "dc": "http://purl.org/dc/terms/",
+        "dwc": "http://rs.tdwg.org/dwc/terms/",
+        "iao": "http://purl.obolibrary.org/obo/IAO_",
+        "kb": "http://www.phenobees.org/kb#",
+        "obo": "http://purl.obolibrary.org/obo#",
+        "owl": "http://www.w3.org/2002/07/owl#",
+        "pato": "http://purl.obolibrary.org/obo/PATO_",
+        "phb": "https://raw.githubusercontent.com/tsrsilva/rdf-generator/"
+               "refs/heads/main/data/ontologies/PHB_",
+        "pmck": "https://raw.githubusercontent.com/tsrsilva/rdf-generator/"
+                "refs/heads/main/data/ontologies/PMCK_",
+        "prov": "http://www.w3.org/ns/prov#",
+        "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+        "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+        "ro": "http://purl.obolibrary.org/obo/RO_",
+        "txr": "http://purl.obolibrary.org/obo/TAXRANK_",
+        "uberon": "http://purl.obolibrary.org/obo/UBERON_",
+        "xsd": "http://www.w3.org/2001/XMLSchema#",
+    }
+    for p, iri in ref_iris.items():
+        assert bound.get(p) == iri, p
+        assert f"@prefix {p}: <{iri}> ." in _PREFIX_BLOCK, p

@@ -214,6 +214,29 @@ def test_write_turtle_auto_selects_by_size(spark, tmp_path):
     assert parse_turtle(text) == a
 
 
+def test_write_turtle_auto_no_path_collision(spark, tmp_path):
+    """ADVICE r4: repos 'a/b' and 'a_b' sanitize to the same stem; the
+    per-document writer must still produce two distinct files (a stable
+    hash of the unsanitized identity is appended), and n_docs must equal
+    the number of files actually on disk."""
+    from tests.fixtures import golden_corpus_rows
+
+    from rdf_generator_spark.sinks.turtle import write_turtle_auto
+    from rdf_generator_spark.sources.corpus import corpus_df
+
+    rows = [
+        (repo,) + r[1:]
+        for repo in ("bees/roig", "bees_roig")
+        for r in golden_corpus_rows()
+    ]
+    res = build_graph(spark, corpus_df(spark, rows))
+    out = tmp_path / "collide"
+    info = write_turtle_auto(res["triples"], str(out))
+    assert info["mode"] == "per-document" and info["n_docs"] == 2
+    ttl = [p for p in os.listdir(out) if p.endswith(".ttl")]
+    assert len(ttl) == 2, ttl
+
+
 def test_write_species_files_auto(spark, tmp_path):
     from rdf_generator_spark.sinks.turtle import write_species_files_auto
 
