@@ -579,21 +579,66 @@ def text_winnow_fingerprint(spark, sf_dir):
 
 
 def multimodal_features(spark, sf_dir):
-    """Binary-column feature extraction plumbing on deterministic
-    synthetic media rows (codec layer stubbed — container has no
-    image/audio libs)."""
-    from rdf_generator_spark.textops.multimodal import MEDIA_SCHEMA, extract_features
+    """REAL binary-column decode (round 5): BMP/PPM/WAV-PCM payloads
+    are encoded from closed-form pixel/sample formulas, decoded by the
+    pure-numpy codec layer (textops/codecs.py) inside the mapInPandas
+    stage, and the decoded statistics are re-quantized to the exact
+    integers DuckDB derives from the same formulas WITHOUT touching the
+    containers. n_bytes doubles as a container-layout check (BMP row
+    padding, netpbm header, RIFF framing)."""
+    import numpy as np
+
+    from rdf_generator_spark.textops.codecs import (
+        encode_bmp,
+        encode_ppm,
+        encode_wav_pcm,
+    )
+    from rdf_generator_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
 
     ensure_workers_can_import(spark)
-    rows = [
-        (i, ["image", "audio", "video"][i % 3],
-         bytearray(f"payload-{i}".encode() * (i + 1)),
-         ("application/fake", 64, 64, 2000))
-        for i in range(24)
-    ]
+    rows = []
+    for i in range(8):
+        w, h = 16 + i, 8 + i
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        img = ((x * 7 + y * 13 + c * 31 + i) % 256).astype(np.uint8)
+        enc = encode_bmp(img) if i % 2 == 0 else encode_ppm(img)
+        mime = "image/bmp" if i % 2 == 0 else "image/x-portable-pixmap"
+        rows.append((i, "image", bytearray(enc), (mime, w, h, None)))
+    for i in range(8, 16):
+        n = 512 + i
+        t = np.arange(n)
+        s = (((t * 2654435761 + i * 7919) % 65536) - 32768).astype(np.int16)
+        rows.append(
+            (i, "audio", bytearray(encode_wav_pcm(s[:, None], 8000 + i)),
+             ("audio/wav", None, None, None))
+        )
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    return extract_features(media, dim=8).select(
-        "media_id", "kind", "payload_sha256", "n_bytes"
+    f = extract_features(media, dim=8, fake=False)
+    isimg = F.col("format") != F.lit("wav")
+    # feature floats carry exact small integers (w/h/ch/n/rate/zc) and a
+    # float32 mean whose *count-scaled* round is provably the integer
+    # pixel sum (|err| = count * mean * 2^-24 << 0.5) — every emitted
+    # column is therefore integer-exact on both engines
+    return f.select(
+        "media_id", "format", "n_bytes",
+        F.round(F.col("feature")[0]).cast("bigint").alias("d0"),
+        F.round(F.col("feature")[1]).cast("bigint").alias("d1"),
+        F.round(F.col("feature")[2]).cast("bigint").alias("d2"),
+        F.when(
+            isimg,
+            F.round(
+                F.col("feature")[3]
+                * F.col("feature")[0] * F.col("feature")[1] * F.col("feature")[2]
+            ),
+        )
+        .otherwise(F.round(F.col("feature")[6]))
+        .cast("bigint")
+        .alias("d3"),
     )
 
 
@@ -943,15 +988,57 @@ ORACLES: Dict[str, str] = {
               / (sqrt(list_dot_product(a.v, a.v))
                  * sqrt(list_dot_product(b.v, b.v))) >= 0.98
     """,
+    # Closed-form twin of the REAL decode path: the Spark side decodes
+    # actual BMP/PPM/WAV containers; DuckDB derives the identical
+    # integers from the generative pixel/sample formulas plus the
+    # containers' documented layout arithmetic (BMP 54-byte header +
+    # 4-byte row padding, netpbm text header, RIFF 44-byte framing) —
+    # an independent derivation, not a pin.
     "multimodal_features": """
-        SELECT CAST(i AS BIGINT) AS media_id,
-               CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
-                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-               sha256(repeat('payload-' || CAST(i AS VARCHAR),
-                             CAST(i + 1 AS INT))) AS payload_sha256,
-               CAST(length(repeat('payload-' || CAST(i AS VARCHAR),
-                                  CAST(i + 1 AS INT))) AS INT) AS n_bytes
-        FROM range(24) t(i)
+        WITH img AS (
+            SELECT CAST(t.i AS BIGINT) AS media_id,
+                   CASE WHEN t.i % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+                   16 + t.i AS w, 8 + t.i AS h, t.i AS i
+            FROM range(8) t(i)
+        ), px AS (
+            SELECT img.media_id,
+                   SUM((x.x*7 + y.y*13 + c.c*31 + img.i) % 256) AS px_sum
+            FROM img, range(23) x(x), range(15) y(y), range(3) c(c)
+            WHERE x.x < img.w AND y.y < img.h
+            GROUP BY img.media_id
+        ), irows AS (
+            SELECT img.media_id, img.format,
+                   CAST(CASE WHEN img.format = 'bmp'
+                        THEN 54 + ((img.w*3 + 3) // 4) * 4 * img.h
+                        ELSE 3 + length(CAST(img.w AS VARCHAR)) + 1
+                             + length(CAST(img.h AS VARCHAR)) + 1 + 4
+                             + 3 * img.w * img.h END AS INT) AS n_bytes,
+                   CAST(img.w AS BIGINT) AS d0, CAST(img.h AS BIGINT) AS d1,
+                   CAST(3 AS BIGINT) AS d2, CAST(px.px_sum AS BIGINT) AS d3
+            FROM img JOIN px USING (media_id)
+        ), wav AS (
+            SELECT 8 + t.i AS i, 520 + t.i AS n, 8008 + t.i AS rate
+            FROM range(8) t(i)
+        ), samp AS (
+            SELECT wav.i, s.t,
+                   ((s.t * 2654435761 + wav.i * 7919) % 65536) - 32768 AS v
+            FROM wav, range(528) s(t)
+            WHERE s.t < wav.n
+        ), zc AS (
+            SELECT i, SUM(CASE WHEN (v < 0) <> (pv < 0) THEN 1 ELSE 0 END) AS zc
+            FROM (SELECT i, v,
+                         lag(v) OVER (PARTITION BY i ORDER BY t) AS pv
+                  FROM samp)
+            WHERE pv IS NOT NULL
+            GROUP BY i
+        ), arows AS (
+            SELECT CAST(w.i AS BIGINT) AS media_id, 'wav' AS format,
+                   CAST(44 + 2 * w.n AS INT) AS n_bytes,
+                   CAST(w.n AS BIGINT) AS d0, CAST(1 AS BIGINT) AS d1,
+                   CAST(w.rate AS BIGINT) AS d2, CAST(zc.zc AS BIGINT) AS d3
+            FROM wav w JOIN zc ON zc.i = w.i
+        )
+        SELECT * FROM irows UNION ALL SELECT * FROM arows
     """,
     # simhash md5 mode: per token t, bit b of the fingerprint input is
     # bit (b%4) of hex nibble b//4 of md5(t) — reproduced here verbatim;
@@ -1302,35 +1389,61 @@ QUERIES["embedding_quantize_int8"] = embedding_quantize_int8
 
 
 def multimodal_frame_sampling(spark, sf_dir):
-    """Video frame-sampling plumbing (timestamp fan-out + per-frame
-    digest) on deterministic synthetic media rows; the decode itself is
-    the documented codec stub."""
-    from rdf_generator_spark.textops.multimodal import MEDIA_SCHEMA, sample_frames
+    """REAL video frame sampling (round 5): Y4M (YUV4MPEG2 C420)
+    payloads with closed-form luma planes are decoded by the pure-numpy
+    codec inside the mapInPandas stage; the sampled frame index and its
+    count-scaled mean luma re-quantize to the exact integers DuckDB
+    derives from the same formulas without touching the container."""
+    import numpy as np
+
+    from rdf_generator_spark.textops.codecs import encode_y4m
+    from rdf_generator_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
 
     ensure_workers_can_import(spark)
-    rows = [
-        (i, "video", bytearray(f"payload-{i}".encode() * (i + 1)),
-         ("video/fake", 64, 64, 1000 * (i + 1)))
-        for i in range(8)
-    ]
+    w, h = 16, 8
+    rows = []
+    for i in range(6):
+        nf = 3 + i
+        f = np.arange(nf)[:, None, None]
+        y = np.arange(h)[None, :, None]
+        x = np.arange(w)[None, None, :]
+        luma = ((f * 17 + y * 5 + x * 3 + i) % 256).astype(np.uint8)
+        # 5 fps -> 200 ms per frame; duration_ms drives the fan-out
+        rows.append(
+            (i, "video", bytearray(encode_y4m(luma, (5, 1))),
+             ("video/x-yuv4mpeg", w, h, nf * 200))
+        )
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    return sample_frames(media, every_ms=700).select(
-        "media_id", "ts_ms", "frame_sha256"
+    return sample_frames(media, every_ms=300, fake=False).select(
+        "media_id", "ts_ms", "frame_index",
+        # mean_luma is an exact ratio of integers; scaling by the plane
+        # size recovers the integer luma sum on both engines
+        F.round(F.col("mean_luma") * w * h).cast("bigint").alias("luma_sum"),
     )
 
 
 ORACLES["multimodal_frame_sampling"] = """
     WITH m AS (
-        SELECT i AS media_id,
-               repeat('payload-' || CAST(i AS VARCHAR), CAST(i+1 AS INT)) AS p,
-               1000 * (i + 1) AS dur
-        FROM range(8) t(i)
+        SELECT t.i AS i, 3 + t.i AS nf, (3 + t.i) * 200 AS dur
+        FROM range(6) t(i)
+    ), ts AS (
+        SELECT i, nf,
+               CAST(unnest(range(0, greatest(dur, 1), 300)) AS INT) AS ts_ms
+        FROM m
+    ), fr AS (
+        SELECT i, ts_ms,
+               least(nf - 1, ts_ms * 5 // 1000) AS idx
+        FROM ts
     )
-    SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(unnest(range(0, greatest(dur, 1), 700)) AS INT) AS ts_ms,
-           unnest(list_transform(range(0, greatest(dur, 1), 700),
-               ts -> sha256(p || ':' || CAST(ts AS VARCHAR)))) AS frame_sha256
-    FROM m
+    SELECT CAST(fr.i AS BIGINT) AS media_id, fr.ts_ms,
+           CAST(fr.idx AS INT) AS frame_index,
+           CAST(SUM((fr.idx*17 + y.y*5 + x.x*3 + fr.i) % 256) AS BIGINT)
+             AS luma_sum
+    FROM fr, range(8) y(y), range(16) x(x)
+    GROUP BY fr.i, fr.ts_ms, fr.idx
 """
 
 QUERIES["multimodal_frame_sampling"] = multimodal_frame_sampling
