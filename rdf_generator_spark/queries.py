@@ -1674,7 +1674,28 @@ ORACLES["text_stratified_sample"] = """
 
 QUERIES["text_stratified_sample"] = text_stratified_sample
 
-# keep the driver window at 48: the stratified-sample entry is
-# pytest-oracled EXTRA coverage
-QUERIES_EXTRA["text_stratified_sample"] = QUERIES.pop("text_stratified_sample")
-ORACLES_EXTRA["text_stratified_sample"] = ORACLES.pop("text_stratified_sample")
+
+# --------------------------------------------------------------------------
+# Round-5 consolidation (VERDICT r4 item 4): fold the three sampling
+# operators — deterministic Bernoulli, sequence packing, stratified
+# quota — into one driver-visible `sampling_suite` via the same
+# escaped-stringify suite mechanism. This promotes the round-4
+# stratified-sample operator into the driver window while NETTING a
+# slot back (3 granular entries -> 1 suite row, registry 48 -> 47).
+# The granular members stay pytest-oracled in QUERIES_EXTRA.
+# --------------------------------------------------------------------------
+
+_SAMPLING_SUITE = [
+    (text_sample_deterministic, ["doc_id"]),
+    (text_pack_sequences, ["doc_id", "bucket", "pack_id", "n_tokens"]),
+    (text_stratified_sample, ["doc_id", "source"]),
+]
+_samp_q = make_suite_query(_SAMPLING_SUITE)
+_samp_q.__name__ = "sampling_suite"
+QUERIES["sampling_suite"] = _samp_q
+ORACLES["sampling_suite"] = make_suite_oracle(_SAMPLING_SUITE, ORACLES)
+
+for _g in ("text_sample_deterministic", "text_pack_sequences",
+           "text_stratified_sample"):
+    QUERIES_EXTRA[_g] = QUERIES.pop(_g)
+    ORACLES_EXTRA[_g] = ORACLES.pop(_g)
