@@ -36,6 +36,17 @@ HEADLINE = [
 ]
 
 
+def _machine_ram_gb() -> int:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) // (1024 * 1024)
+    except OSError:
+        pass
+    return 128
+
+
 def default_driver_mem(kg_scale: int) -> str:
     """Heap sizing rule (BENCH.md round-3 memory finding): the 4x corpus
     (scale 16, 18.7M triples) OOMs a 16 GB single-JVM heap — in local
@@ -43,8 +54,16 @@ def default_driver_mem(kg_scale: int) -> str:
     sort/aggregate buffers plus localCheckpoint blocks need roughly
     2 GB per kg_scale unit (~1 GB per 3 datasets / ~0.6M triples at the
     bench document mix). On a real cluster this is ordinary per-executor
-    sizing (4-8 GB per executor core at this document size)."""
-    return f"{max(12, 2 * kg_scale)}g"
+    sizing (4-8 GB per executor core at this document size).
+
+    Capped at ~80% of machine RAM (round 5): the linear rule asks for
+    128 GB at kg_scale 64 on a 125 GiB box — a heap the JVM cannot
+    even commit alongside its own off-heap overhead. Above the cap the
+    corpus still runs; Spark spills sort/aggregate buffers to disk
+    instead of widening the heap (the behavior a real executor fleet
+    exhibits when a partition exceeds executor memory)."""
+    cap = max(12, int(_machine_ram_gb() * 0.8))
+    return f"{min(cap, max(12, 2 * kg_scale))}g"
 
 
 def build_session(cpus: int, kg_scale: int = 1):
@@ -74,6 +93,28 @@ def build_session(cpus: int, kg_scale: int = 1):
 def materialize(df) -> int:
     """Force full computation; returns row count."""
     return df.count()
+
+
+def capacity_sha1_sec(spark) -> float:
+    """Box-state normalization cell (VERDICT r4 item 1): the same
+    embarrassingly-parallel sha1 microbenchmark scaling_bench.py uses,
+    run in THIS bench session so every BENCH_rN JSON line carries its
+    own capacity reference. The sandbox swings ±40% run-to-run
+    (BENCH.md variance table); dividing kg_pipeline seconds by this
+    cell separates code regressions from box noise. Best-of-2; 40M
+    sha1s over 64 partitions, pure JVM codegen, no shuffle."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(2):
+        df = spark.range(0, 40_000_000, 1, 64)
+        t0 = time.perf_counter()
+        df.select(
+            F.sha1(F.col("id").cast("string").cast("binary")).alias("h")
+        ).filter(F.col("h").startswith("0000")).count()
+        sec = round(time.perf_counter() - t0, 3)
+        best = sec if best is None else min(best, sec)
+    return best
 
 
 def run_bench(spark, sf_dir: str, kg_scale: int) -> dict:
@@ -128,11 +169,15 @@ def run_bench(spark, sf_dir: str, kg_scale: int) -> dict:
             best = sec if best is None else min(best, sec)
         timings[name] = best
 
+    cap_sec = capacity_sha1_sec(spark)
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        "capacity_sha1_sec": cap_sec,
+        "kg_over_capacity": round(kg_sec / cap_sec, 3) if cap_sec else None,
         "queries": timings,
         "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0),
         "kg": {
