@@ -34,7 +34,7 @@ from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[{cpus}]")
     .config("spark.sql.shuffle.partitions", "{parts}")
     .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.driver.memory", "12g")
+    .config("spark.driver.memory", "{mem}")
     .config("spark.sql.files.maxPartitionBytes", "4m")
     .config("spark.sql.files.openCostInBytes", "4m")
     .config("spark.ui.enabled", "false").getOrCreate())
@@ -95,8 +95,15 @@ def main():
     n_high = n_low * factor
     nds = 6 * kg_scale
 
+    # heap per the bench.py sizing rule (the hardcoded 12g OOMs at
+    # kg_scale >= 16 — BENCH.md round-3 memory finding)
+    sys.path.insert(0, REPO)
+    from bench import default_driver_mem
+    mem = default_driver_mem(kg_scale)
+
     def kg(cpus):
-        return run_py(KG_SNIPPET.format(repo=REPO, cpus=cpus, parts=2 * cpus, nds=nds))
+        return run_py(KG_SNIPPET.format(
+            repo=REPO, cpus=cpus, parts=2 * cpus, nds=nds, mem=mem))
 
     def cap(cpus):
         return run_py(CAP_SNIPPET.format(cpus=cpus))
