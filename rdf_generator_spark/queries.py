@@ -1307,6 +1307,106 @@ ORACLES["dedup_near_groups"] = """
 QUERIES["dedup_near_groups"] = dedup_near_groups
 
 
+def dedup_incremental(spark, sf_dir):
+    """Cross-corpus incremental dedup (the "new crawl vs existing
+    training set" step): band signatures per side, candidates ONLY from
+    the between-sides (band, bh) equi-join — ref-vs-ref pairs are never
+    generated — then exact-Jaccard verify on candidates. New batch =
+    ten planted near-copies (doc_id+900000, one appended token; must
+    match their source) + ten two-token uniques (below the 3-shingle
+    floor; must survive). Integer-only output columns so the DuckDB
+    twin is engine-exact."""
+    from rdf_generator_spark.textops.dedupe import incremental_dedup_matches
+
+    ref = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = ref.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz_planted_tail")).alias("text"),
+    )
+    uniques = ref.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 910000).alias("doc_id"),
+        F.concat(F.lit("uniq_"), F.col("doc_id"), F.lit(" zz")).alias("text"),
+    )
+    return incremental_dedup_matches(
+        planted.unionByName(uniques), ref,
+        threshold=0.8, shingle_k=3, num_hashes=16, bands=4,
+    )
+
+
+ORACLES["dedup_incremental"] = """
+    WITH ref0 AS (SELECT doc_id, text FROM documents),
+    new0 AS (
+        SELECT doc_id + 900000 AS doc_id, text || ' zz_planted_tail' AS text
+        FROM documents WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id + 910000, 'uniq_' || CAST(doc_id AS VARCHAR) || ' zz'
+        FROM documents WHERE doc_id < 10
+    ),
+    sh_ref AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   range(0, greatest(len(ts) - 3, 0) + 1),
+                   i -> array_to_string(ts[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ')))
+                 AS tok
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM ref0)
+        WHERE len(ts) >= 3
+    ),
+    sh_new AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   range(0, greatest(len(ts) - 3, 0) + 1),
+                   i -> array_to_string(ts[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ')))
+                 AS tok
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM new0)
+        WHERE len(ts) >= 3
+    ),
+    bands_ref AS (
+        SELECT doc_id, CAST(i//4 AS INT) AS band,
+               md5(string_agg(CAST(i AS VARCHAR) || '@' || mh, '|'
+                              ORDER BY CAST(i AS VARCHAR) || '@' || mh)) AS bh
+        FROM (
+            SELECT doc_id, i.i AS i,
+                   MIN(md5(CAST(i.i AS VARCHAR) || ':' || tok)) AS mh
+            FROM sh_ref CROSS JOIN (SELECT unnest(range(16)) AS i) i
+            GROUP BY doc_id, i.i
+        ) GROUP BY doc_id, CAST(i//4 AS INT)
+    ),
+    bands_new AS (
+        SELECT doc_id, CAST(i//4 AS INT) AS band,
+               md5(string_agg(CAST(i AS VARCHAR) || '@' || mh, '|'
+                              ORDER BY CAST(i AS VARCHAR) || '@' || mh)) AS bh
+        FROM (
+            SELECT doc_id, i.i AS i,
+                   MIN(md5(CAST(i.i AS VARCHAR) || ':' || tok)) AS mh
+            FROM sh_new CROSS JOIN (SELECT unnest(range(16)) AS i) i
+            GROUP BY doc_id, i.i
+        ) GROUP BY doc_id, CAST(i//4 AS INT)
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+        FROM bands_new n JOIN bands_ref r
+          ON n.band = r.band AND n.bh = r.bh
+    ),
+    zn AS (SELECT doc_id, COUNT(*) AS sz_new FROM sh_new GROUP BY doc_id),
+    zr AS (SELECT doc_id, COUNT(*) AS sz_ref FROM sh_ref GROUP BY doc_id),
+    inter AS (
+        SELECT c.new_id, c.ref_id, COUNT(*) AS inter_cnt
+        FROM cand c
+        JOIN sh_new sn ON sn.doc_id = c.new_id
+        JOIN sh_ref sr ON sr.doc_id = c.ref_id AND sr.tok = sn.tok
+        GROUP BY c.new_id, c.ref_id
+    )
+    SELECT i.new_id, i.ref_id, i.inter_cnt, zn.sz_new, zr.sz_ref
+    FROM inter i
+    JOIN zn ON zn.doc_id = i.new_id
+    JOIN zr ON zr.doc_id = i.ref_id
+    WHERE i.inter_cnt
+          >= CAST(0.8 AS DOUBLE) * (zn.sz_new + zr.sz_ref - i.inter_cnt)
+"""
+
+QUERIES["dedup_incremental"] = dedup_incremental
+
+
 def text_sample_deterministic(spark, sf_dir):
     """Seeded hash-threshold Bernoulli sample (retry/repartition-stable,
     unlike df.sample) — membership is a pure function of (seed, key),

@@ -78,19 +78,17 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
+def _band_signatures(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_k: int = 1,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
 ) -> DataFrame:
-    """MinHash + LSH candidate pairs (d1 < d2).
-
-    shingle -> per-hash min(md5(i:shingle)) -> band signature -> bucket
-    self-join on (band, signature). At corpus scale the bucket join is
-    the only pairwise step and AQE's skew-join splits hot buckets."""
+    """(doc_id, band, bh) MinHash band signatures: shingle -> per-hash
+    min(md5(i:shingle)) -> md5 of the sorted band slice. Shared by the
+    within-corpus LSH self-join and the cross-corpus incremental join."""
     rows_per_band = num_hashes // bands
     toks = (
         _tokens(df, id_col, text_col)
@@ -106,7 +104,7 @@ def minhash_lsh_pairs(
         F.md5(F.concat_ws(":", F.col("i"), F.col("tok"))).alias("h"),
     )
     sigs = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
-    bands_df = (
+    return (
         sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
@@ -117,6 +115,22 @@ def minhash_lsh_pairs(
             ).alias("bh")
         )
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """MinHash + LSH candidate pairs (d1 < d2).
+
+    shingle -> per-hash min(md5(i:shingle)) -> band signature -> bucket
+    self-join on (band, signature). At corpus scale the bucket join is
+    the only pairwise step and AQE's skew-join splits hot buckets."""
+    bands_df = _band_signatures(df, id_col, text_col, num_hashes, bands, shingle_k)
     a = bands_df.select(F.col("doc_id").alias("d1"), "band", "bh")
     b = bands_df.select(F.col("doc_id").alias("d2"), "band", "bh")
     return (
@@ -236,6 +250,101 @@ def near_dup_groups(
         )
         .drop("canon")
     )
+
+
+def incremental_dedup_matches(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Cross-corpus incremental dedup: which NEW documents near-duplicate
+    the EXISTING reference corpus (the "new crawl vs training set" step)?
+
+    Band signatures are computed per side and candidates come from the
+    (band, bh) equi-join BETWEEN the sides — never a self-join of the
+    union, so ref-vs-ref pairs (the quadratic bulk at 10^9 existing
+    docs) are never generated. Exact-Jaccard verification then touches
+    candidates only, joining each side against its own shingle table.
+    Exact duplicates fall out of the same flow (jaccard = 1).
+
+    At 100 TB the ref side's signatures are computed once and persisted
+    (they are pure functions of content); each incoming batch computes
+    only its own signatures and the bucket join prunes to candidates.
+
+    Returns (new_id, ref_id, inter_cnt, sz_new, sz_ref) for every
+    verified pair — integer columns only, so results are engine-exact.
+    The threshold filter is evaluated as inter >= t*(union) in double
+    precision, matching the within-corpus operators."""
+    new_bands = _band_signatures(
+        new_df, id_col, text_col, num_hashes, bands, shingle_k
+    ).select(F.col("doc_id").alias("new_id"), "band", "bh")
+    ref_bands = _band_signatures(
+        ref_df, id_col, text_col, num_hashes, bands, shingle_k
+    ).select(F.col("doc_id").alias("ref_id"), "band", "bh")
+    cand = (
+        new_bands.join(ref_bands, ["band", "bh"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    sh_new = (
+        _shingles(new_df, id_col, text_col, shingle_k)
+        if shingle_k > 1
+        else _tokens(new_df, id_col, text_col)
+    )
+    sh_ref = (
+        _shingles(ref_df, id_col, text_col, shingle_k)
+        if shingle_k > 1
+        else _tokens(ref_df, id_col, text_col)
+    )
+    sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_new"))
+    sz_ref = sh_ref.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_ref"))
+    inter = (
+        cand.join(
+            sh_new.select(F.col("doc_id").alias("new_id"), "tok"), "new_id"
+        )
+        .join(
+            sh_ref.select(F.col("doc_id").alias("ref_id"), "tok"),
+            ["ref_id", "tok"],
+        )
+        .groupBy("new_id", "ref_id")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    return (
+        inter.join(sz_new.select(F.col("doc_id").alias("new_id"), "sz_new"), "new_id")
+        .join(sz_ref.select(F.col("doc_id").alias("ref_id"), "sz_ref"), "ref_id")
+        .filter(
+            F.col("inter_cnt")
+            >= F.lit(threshold)
+            * (F.col("sz_new") + F.col("sz_ref") - F.col("inter_cnt"))
+        )
+        .select("new_id", "ref_id", "inter_cnt", "sz_new", "sz_ref")
+    )
+
+
+def incremental_dedup_survivors(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """New-batch rows that do NOT near-duplicate the reference corpus:
+    the batch to actually ingest. Anti-join of the batch against the
+    verified matches — same cost profile as incremental_dedup_matches
+    (the anti-join adds one shuffle on the already-small match set)."""
+    matches = incremental_dedup_matches(
+        new_df, ref_df, id_col, text_col, threshold, shingle_k,
+        num_hashes, bands,
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return new_df.join(matches, id_col, "left_anti")
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -115,7 +115,7 @@ def test_lsh_ops_have_no_cartesian_product(spark):
     killer."""
     for name in ["minhash_band_pairs", "dedup_simhash_pairs",
                  "dedup_embedding_neardup", "text_decontaminate",
-                 "dedup_near_groups"]:
+                 "dedup_near_groups", "dedup_incremental"]:
         plan = plan_of(Q.QUERIES[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -531,3 +531,42 @@ def test_stratified_sample(spark):
           stratified_sample(bigger, "source", cap=5, seed=1).collect()
           if r["source"] == "s0"}
     assert len(g2) == 5 and len(g2 - by_src["s0"]) <= 1
+
+
+def test_incremental_dedup(spark):
+    """Cross-corpus incremental dedup: near-copy and exact copy of ref
+    docs match (exact => jaccard 1), unrelated and sub-shingle-floor
+    docs survive; ref-vs-ref near-dups never produce pairs."""
+    ref = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+            # 3 is a near-dup of 1 INSIDE ref — must not appear in output
+            (3, "the quick brown fox jumps over the lazy dog tonight"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            # near-copy of ref 1 (one token appended)
+            (101, "the quick brown fox jumps over the lazy dog today extra"),
+            # exact copy of ref 2
+            (102, "pack my box with five dozen liquor jugs right now"),
+            # unrelated
+            (103, "completely different content with no shared trigrams at all"),
+            # below the 3-shingle floor
+            (104, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    m = dedupe.incremental_dedup_matches(new, ref, threshold=0.8, shingle_k=3)
+    got = {(r["new_id"], r["ref_id"]): r["inter_cnt"] for r in m.collect()}
+    assert set(got) == {(101, 1), (102, 2)}
+    # exact copy: intersection == both sizes
+    row = [r for r in m.collect() if r["new_id"] == 102][0]
+    assert row["inter_cnt"] == row["sz_new"] == row["sz_ref"]
+    surv = sorted(
+        r["doc_id"]
+        for r in dedupe.incremental_dedup_survivors(new, ref).collect()
+    )
+    assert surv == [103, 104]
