@@ -217,15 +217,31 @@ def _truthy_uri(c) -> F.Column:
     return F.when(c.isNull() | (c == ""), F.lit(None).cast("string")).otherwise(c)
 
 
+_CONFIG_SCAN_LIMIT = 64
+
+
 def dataset_id_from_config(corpus: DataFrame) -> Optional[str]:
     """SRC1: a lang='yaml' config row may carry `dataset_id` — the
     highest-priority salt source (main.py:31-36, 232-235). Config rows
-    are tiny dimension docs, collected driver-side."""
+    are tiny dimension docs, collected driver-side.
+
+    The collect is bounded (`limit(64)`) so the tiny-by-contract
+    assumption is structural rather than hoped-for, and ordered by
+    (repo, path, commit) so that when a corpus carries several yaml
+    docs the winning `dataset_id` is deterministic (the reference
+    reads exactly one config file; lexicographically-first is the
+    documented precedence here), not partition-order-dependent."""
     try:
         import yaml
     except ImportError:
         return None
-    rows = corpus.filter(F.col("lang") == "yaml").select("content").collect()
+    rows = (
+        corpus.filter(F.col("lang") == "yaml")
+        .select("repo", "path", "commit", "content")
+        .orderBy("repo", "path", "commit")
+        .limit(_CONFIG_SCAN_LIMIT)
+        .collect()
+    )
     for r in rows:
         try:
             cfg = yaml.safe_load(r["content"]) or {}
