@@ -32,28 +32,61 @@ def prune_unreferenced(df: DataFrame, hint=F.broadcast) -> DataFrame:
     the document threshold the anti-joins shuffle on (repo, commit, node)
     instead of broadcasting an unbounded table.
     """
-    named = (
-        df.filter((F.col("p") == T.RDF_TYPE) & (F.col("o") == T.OWL_NAMED_INDIVIDUAL))
-        .select(*DOC_KEYS, F.col("s").alias("node"))
-        .distinct()
+    # Single-pass victim derivation (round 6): the direct transcription
+    # was three full distinct shuffles (all NamedIndividual subjects,
+    # all phb:hasQuality objects, all phb:hasOrganism objects) plus two
+    # anti-joins and a union-distinct — six exchanges, several carrying
+    # every NI subject in the graph. Only kb:qua-*/kb:org-* nodes can
+    # ever be victims, and a referenced node only matters if it has that
+    # same prefix, so one tagged explode over the triples followed by
+    # one (doc, node) aggregation computes the identical victim set:
+    # victim == named NI with its prefix's reference flag unset.
+    QUA, ORG = T.KB + "qua-", T.KB + "org-"
+    is_ni = (F.col("p") == T.RDF_TYPE) & (F.col("o") == T.OWL_NAMED_INDIVIDUAL)
+    named_node = F.when(
+        is_ni & (F.col("s").startswith(QUA) | F.col("s").startswith(ORG)),
+        F.col("s"),
     )
-    ref_q = (
-        df.filter((F.col("p") == T.PHB_HAS_QUALITY) & (~F.col("lit")))
-        .select(*DOC_KEYS, F.col("o").alias("node"))
-        .distinct()
+    refq_node = F.when(
+        (F.col("p") == T.PHB_HAS_QUALITY) & (~F.col("lit"))
+        & F.col("o").startswith(QUA),
+        F.col("o"),
     )
-    ref_o = (
-        df.filter((F.col("p") == T.PHB_HAS_ORGANISM) & (~F.col("lit")))
-        .select(*DOC_KEYS, F.col("o").alias("node"))
-        .distinct()
+    refo_node = F.when(
+        (F.col("p") == T.PHB_HAS_ORGANISM) & (~F.col("lit"))
+        & F.col("o").startswith(ORG),
+        F.col("o"),
     )
-    qua_victims = named.filter(F.col("node").startswith(T.KB + "qua-")).join(
-        ref_q, DOC_KEYS + ["node"], "left_anti"
+    cand = (
+        df.select(
+            *DOC_KEYS,
+            F.explode(
+                F.array(
+                    F.struct(named_node.alias("node"), F.lit(1).alias("kind")),
+                    F.struct(refq_node.alias("node"), F.lit(2).alias("kind")),
+                    F.struct(refo_node.alias("node"), F.lit(3).alias("kind")),
+                )
+            ).alias("c"),
+        )
+        .filter(F.col("c.node").isNotNull())
+        .select(*DOC_KEYS, F.col("c.node").alias("node"), F.col("c.kind").alias("kind"))
     )
-    org_victims = named.filter(F.col("node").startswith(T.KB + "org-")).join(
-        ref_o, DOC_KEYS + ["node"], "left_anti"
+    victims = (
+        cand.groupBy(*DOC_KEYS, "node")
+        .agg(
+            F.max(F.col("kind") == 1).alias("__named"),
+            F.max(F.col("kind") == 2).alias("__refq"),
+            F.max(F.col("kind") == 3).alias("__refo"),
+        )
+        .filter(
+            F.col("__named")
+            & (
+                (F.col("node").startswith(QUA) & ~F.col("__refq"))
+                | (F.col("node").startswith(ORG) & ~F.col("__refo"))
+            )
+        )
+        .select(*DOC_KEYS, "node")
     )
-    victims = qua_victims.unionByName(org_victims).distinct()
     out = df.join(
         hint(victims.withColumnRenamed("node", "s")),
         DOC_KEYS + ["s"],
@@ -77,7 +110,8 @@ def prune_unreferenced(df: DataFrame, hint=F.broadcast) -> DataFrame:
     return out
 
 
-def apply_label_priority(matrix_labels: DataFrame, target: DataFrame) -> DataFrame:
+def apply_label_priority(matrix_labels: DataFrame, target: DataFrame,
+                         hint=None) -> DataFrame:
     """apply_matrix_label_priority (main.py:1243-1270).
 
     `matrix_labels`: (doc, s, o) authoritative rdfs:label values. For
@@ -88,11 +122,16 @@ def apply_label_priority(matrix_labels: DataFrame, target: DataFrame) -> DataFra
     (main.py pref_labels[0]); when `matrix_labels` carries an `ord`
     struct (emission-order key built by the pipeline), min_by replays
     that order. Labels with no order key sort last, tie-broken on the
-    label text so the choice stays deterministic. No broadcast hint:
-    the label map grows with the corpus (per-document keys), so the
-    join is left to AQE — it still broadcasts at fixture scale and
-    falls back to shuffle past the threshold.
-    """
+    label text so the choice stays deterministic.
+
+    ``hint`` wraps the aggregated label-map side of the two joins (the
+    pipeline passes its corpus-gated broadcast hint, same policy as
+    prune_unreferenced): the map is per-document small but grows with
+    the corpus, so past the document gate the joins shuffle on
+    (repo, commit, s) instead of broadcasting an unbounded table. With
+    no hint the join is left to AQE (fixture-scale callers)."""
+    if hint is None:
+        hint = lambda d: d  # noqa: E731
     if "ord" in matrix_labels.columns:
         # nulls-last fill must match the ord struct's field names/types
         max_ord = F.struct(
@@ -112,7 +151,7 @@ def apply_label_priority(matrix_labels: DataFrame, target: DataFrame) -> DataFra
         )
     target_subjects = target.select(*DOC_KEYS, "s").distinct()
     replacements = (
-        target_subjects.join(ml, DOC_KEYS + ["s"], "inner")
+        target_subjects.join(hint(ml), DOC_KEYS + ["s"], "inner")
         .select(
             *DOC_KEYS,
             "s",
@@ -124,7 +163,7 @@ def apply_label_priority(matrix_labels: DataFrame, target: DataFrame) -> DataFra
     )
     non_labels = target.filter(F.col("p") != T.RDFS_LABEL)
     kept_labels = target.filter(F.col("p") == T.RDFS_LABEL).join(
-        ml.select(*DOC_KEYS, "s"), DOC_KEYS + ["s"], "left_anti"
+        hint(ml.select(*DOC_KEYS, "s")), DOC_KEYS + ["s"], "left_anti"
     )
     return non_labels.unionByName(kept_labels).unionByName(
         replacements.select(non_labels.columns)

@@ -377,6 +377,21 @@ def build_graph(
         w = Window.partitionBy(*DOC).orderBy(*order_cols)
         return df.withColumn(out, F.row_number().over(w))
 
+    # Hub-table materialization happens TOP-DOWN: each hub is
+    # checkpointed as soon as its plan is complete, and every downstream
+    # plan is then built FROM the checkpointed DataFrame. (Round-6 fix:
+    # the mats used to happen at the end, after all downstream plans had
+    # captured the un-truncated lineage — so the states_x job re-ran the
+    # whole charsx parse+fill chain and the visits job re-ran both; the
+    # visits physical plan carried 24 MapInPandas subtrees and 86
+    # exchanges. Checkpoint-then-build collapses each hub job to its own
+    # stage chain — guide §2.4: remove repeated subtree shuffles.)
+    mat = _materializer(spark, staging_dir)
+    do_mat = materialize and assemble
+
+    def hub(df, name):
+        return mat(df, name) if do_mat else df
+
     chars_raw = parsers.parse_char_docs(corpus)
     cells = parsers.parse_nexus_docs(corpus)
     species = parsers.parse_species_docs(corpus)
@@ -489,6 +504,30 @@ def build_graph(
         .when(has_locs & all_of(label_comps), F.array_join(label_comps, "::"))
         .when(has_locs, F.concat(F.lit("__malformed__::"), F.col("char_id"))),
     )
+    charsx = hub(charsx, "charsx")
+    if do_mat and check_input_contract:
+        # Contract check rides the (cheap, already-materialized) parsed
+        # characters table instead of re-scanning the raw corpus: a
+        # second char-JSON in a group shows up as a second distinct
+        # `path` here. Raises before any result is returned.
+        bad = (
+            charsx.select(*DOC, "path").distinct()
+            .groupBy(*DOC).count().filter(F.col("count") > 1)
+            .limit(10).collect()
+        )
+        if bad:
+            groups = ", ".join(
+                f"{r['repo']}@{r['commit'][:8]} ({r['count']} JSONs)"
+                for r in bad
+            )
+            raise ValueError(
+                "input contract violated — multiple character-JSON "
+                f"files in one (repo, commit) group: {groups}. "
+                "Pre-process the corpus with "
+                "sources.corpus.shard_multi_matrix_groups (pairs "
+                "json/nexus by path stem, one group per matrix) or "
+                "split the groups yourself."
+            )
 
     # --- states_x: long per-state table with J2 + counters (K1/A2) -------
     st = charsx.select(
@@ -596,7 +635,16 @@ def build_graph(
             F.concat(F.col("qua_prefix"), F.lit(":id-"), F.col("__rn")),
         )
     )
-    states_x = st
+    if do_mat:
+        # checkpoint only what downstream consumers read (RDD scans
+        # cannot column-prune — see the visits projection note)
+        st = st.select(
+            *DOC, "char_pos", "state_idx", "char_id", "char_iri",
+            "char_var_uri", "base_label", "labelN", "uri_t", "sta_iri",
+            "qua_iri", "resolved_uri", "neg_resolved", "restr_iri",
+            "comp_iri", "sta_label", "sta_label_phase_b", "qua_label",
+        )
+    states_x = hub(st, "states_x")
 
     # --- cells ⋈ chars (J4): broadcast the dimension-sized character
     # table keyed on the matrix column index (char_ids_in_order semantics,
@@ -647,6 +695,46 @@ def build_graph(
         .select("*", "__v.vord", "__v.v_org_label", "__v.v_org_uri", "__v.suffix")
         .drop("__v")
     )
+
+    # state/quality join (J5) — the broadcast join and the phe_n window
+    # run FIRST, on the narrow pre-mint rows. Both are keyed by document,
+    # so this whole sub-plan executes doc-partitioned (max parallelism =
+    # document count, with giant documents hot — guide §2.5 skew).
+    stj = states_x.select(
+        F.col("repo").alias("__st_repo"),
+        F.col("commit").alias("__st_commit"),
+        F.col("char_pos").alias("st_char_pos"),
+        F.col("state_idx").alias("st_idx"),
+        F.col("sta_iri").alias("st_sta_iri"),
+        F.col("qua_iri").alias("st_qua_iri"),
+        F.col("qua_label").alias("st_qua_label"),
+        F.col("uri_t").alias("st_uri"),
+        F.col("neg_resolved").alias("st_neg_resolved"),
+        F.col("comp_iri").alias("st_comp_iri"),
+        F.col("char_var_uri").alias("st_var_uri"),
+    )
+    visits = visits.join(
+        bhint(stj),
+        (F.col("repo") == F.col("__st_repo"))
+        & (F.col("commit") == F.col("__st_commit"))
+        & (F.col("char_pos") == F.col("st_char_pos"))
+        & (F.col("state_index") == F.col("st_idx")),
+        "left",
+    ).drop("__st_repo", "__st_commit")
+
+    visits = _seq(visits, ["char_pos", "taxon_pos", "vord"], "phe_n")
+
+    # The IRI mints below (5 sha1 forests per row + the locator-chain
+    # fold) are the pipeline's heaviest per-row compute. Partitioning at
+    # this point is by document (the window above), so one giant matrix
+    # would mint in ONE task. Spread the rows over a high-cardinality
+    # deterministic composite key first (guide §2.5: deterministic
+    # synthetic partitioning — char_pos splits a giant document across
+    # tasks); everything after this is per-row column algebra, and every
+    # downstream consumer re-shuffles on its own keys anyway. Measured
+    # at bench scale: the mint projection fell from ~4.5 s (13 skewed
+    # post-AQE partitions) to <1 s.
+    visits = visits.repartition("repo", "commit", "char_pos", "taxon_pos")
 
     org_seed = F.concat_ws(
         "::",
@@ -732,29 +820,6 @@ def build_graph(
         "var_iri", F.when(F.col("has_variable"), kb_iri("var", var_seed))
     )
 
-    # state/quality join (J5)
-    stj = states_x.select(
-        F.col("repo").alias("__st_repo"),
-        F.col("commit").alias("__st_commit"),
-        F.col("char_pos").alias("st_char_pos"),
-        F.col("state_idx").alias("st_idx"),
-        F.col("sta_iri").alias("st_sta_iri"),
-        F.col("qua_iri").alias("st_qua_iri"),
-        F.col("qua_label").alias("st_qua_label"),
-        F.col("uri_t").alias("st_uri"),
-        F.col("neg_resolved").alias("st_neg_resolved"),
-        F.col("comp_iri").alias("st_comp_iri"),
-        F.col("char_var_uri").alias("st_var_uri"),
-    )
-    visits = visits.join(
-        bhint(stj),
-        (F.col("repo") == F.col("__st_repo"))
-        & (F.col("commit") == F.col("__st_commit"))
-        & (F.col("char_pos") == F.col("st_char_pos"))
-        & (F.col("state_index") == F.col("st_idx")),
-        "left",
-    ).drop("__st_repo", "__st_commit")
-
     visits = visits.withColumn(
         "per_org_qua_iri",
         F.when(
@@ -768,8 +833,34 @@ def build_graph(
             ),
         ),
     )
-
-    visits = _seq(visits, ["char_pos", "taxon_pos", "vord"], "phe_n")
+    # Project the checkpoint down to the columns _assemble consumes
+    # (guide §2.3 "project before the exchange"): a localCheckpoint scan
+    # is an RDD scan with NO column pruning, and the emission + label-
+    # order branches scan this table several times — carrying the raw
+    # `locators`/`states` arrays and the pre-mint intermediates through
+    # every one of those deserializing scans measurably dominated the
+    # final job's CPU.
+    if do_mat:
+        visits = visits.select(
+            *DOC, "char_pos", "taxon_pos", "vord", "phe_n",
+            "char_sort_num", "norm_taxon", "char_label", "char_id",
+            "phe_iri", "stmt_type", "v_org_uri", "v_org_label", "org_iri",
+            "tu_iri", "cell_iri", "mx_iri", "var_iri", "var_uri",
+            "var_label_eff", "var_comment", "per_org_qua_iri",
+            "st_qua_label", "st_uri", "st_neg_resolved", "st_comp_iri",
+            "st_var_uri", "last_loc_iri", "st_sta_iri", "loc_chain",
+        )
+    visits = hub(visits, "visits")
+    # cells_j deliberately NOT checkpointed: its two consumers (visits
+    # above, cell_triples in _assemble) each sit directly on the
+    # materialized charsx hub + the narrow NEXUS parse, so Catalyst can
+    # prune columns per consumer and pipeline the parse into them. An
+    # interleaved A/B at bench scale (24 datasets, one JVM) measured
+    # skipping this checkpoint at 40.4 s vs 73.4 s for the full-mat
+    # ladder — the barrier + full-width recompute cost far more than the
+    # duplicated parse. charsx/states_x/visits/parts stay materialized:
+    # they bound Catalyst plan depth and keep the final-graph plan free
+    # of Python stages (test_plans.py).
 
     if not assemble:
         # diagnostic mode: hub tables with full (un-truncated) lineage,
@@ -778,45 +869,6 @@ def build_graph(
             "chars": charsx, "states": states_x, "cells": cells_j,
             "visits": visits, "species": species,
         }
-
-    mat = _materializer(spark, staging_dir)
-    if materialize:
-        charsx = mat(charsx, "charsx")
-        # Contract check rides the (cheap, already-materialized) parsed
-        # characters table instead of re-scanning the raw corpus: a
-        # second char-JSON in a group shows up as a second distinct
-        # `path` here. Raises before any result is returned.
-        if check_input_contract:
-            bad = (
-                charsx.select(*DOC, "path").distinct()
-                .groupBy(*DOC).count().filter(F.col("count") > 1)
-                .limit(10).collect()
-            )
-            if bad:
-                groups = ", ".join(
-                    f"{r['repo']}@{r['commit'][:8]} ({r['count']} JSONs)"
-                    for r in bad
-                )
-                raise ValueError(
-                    "input contract violated — multiple character-JSON "
-                    f"files in one (repo, commit) group: {groups}. "
-                    "Pre-process the corpus with "
-                    "sources.corpus.shard_multi_matrix_groups (pairs "
-                    "json/nexus by path stem, one group per matrix) or "
-                    "split the groups yourself."
-                )
-        states_x = mat(states_x, "states_x")
-        # cells_j deliberately NOT materialized: its two consumers
-        # (visits below, cell_triples in _assemble) each sit directly on
-        # a materialized hub + the narrow NEXUS parse, so Catalyst can
-        # prune columns per consumer and pipeline the parse into them.
-        # An interleaved A/B at bench scale (24 datasets, one JVM)
-        # measured skipping this checkpoint at 40.4 s vs 73.4 s for the
-        # full-mat ladder — the barrier + full-width recompute cost far
-        # more than the duplicated parse. charsx/states_x/visits/parts
-        # stay materialized: they bound Catalyst plan depth and keep the
-        # final-graph plan free of Python stages (test_plans.py).
-        visits = mat(visits, "visits")
 
     return _assemble(
         spark, corpus, charsx, states_x, cells_j, visits, species, cells, meta,
@@ -1226,13 +1278,29 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         with_part(species_part, "species"),
         with_part(tu_part, "tu"),
     )
+    # Single-shuffle dedup (round 6, guide §2.3/§2.4): the old shape
+    # checkpointed `parts` (a full ~2x-triple-count materialization of
+    # wide string rows) and then ran TWO independent dedup shuffles over
+    # it — dedup(all) and dedup(matrix subset) — before pruning each.
+    # One groupBy over the emission union computes both at once: the
+    # grouped key IS the triple identity, and max(part=='matrix') marks
+    # matrix membership, so dedup(matrix) is a post-shuffle filter
+    # instead of a second full exchange. The deduped table (the smaller,
+    # already-combined set) is what gets checkpointed; `parts` itself
+    # stays a lazy plan over the checkpointed hubs (consumed exactly
+    # once here — its other consumer, char_combined, is a lazy output).
+    dd = (
+        parts.withColumn("__mx", F.col("part") == "matrix")
+        .groupBy("repo", "commit", "s", "p", "o", "lit", "dt")
+        .agg(F.max("__mx").alias("__mx"))
+    )
     if materialize:
-        parts = mat(parts, "parts")
+        dd = mat(dd, "dedup")
 
-    all_triples = dedup_triples(parts.drop("part"))
+    all_triples = dd.drop("__mx")
     pruned = prune_unreferenced(all_triples, hint=bhint)
     matrix_pruned = prune_unreferenced(
-        dedup_triples(parts.filter(F.col("part") == "matrix").drop("part")),
+        dd.filter(F.col("__mx")).drop("__mx"),
         hint=bhint,
     )
     # Emission-order key for matrix labels: the reference's label-priority
@@ -1250,47 +1318,84 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
             k5.cast("long").alias("k5"),
         )
 
-    def _lab(df, s_col, o_col, ordc):
-        return df.select(
-            *DOC, s_col.cast("string").alias("s"),
-            o_col.cast("string").alias("o"), ordc.alias("ord"),
-        ).filter(F.col("s").isNotNull() & F.col("o").isNotNull())
+    # One tagged explode per source table (round 6): the direct form ran
+    # eight separate subtrees — five full scans of the states_x
+    # checkpoint and three of visits (checkpoint scans cannot column-
+    # prune) — unioned before the aggregation. Emitting all of a row's
+    # candidate (s, o, ord) entries in a single pass per table yields
+    # the identical union with one scan each; conditional entries become
+    # null structs and are filtered after the explode, exactly like
+    # emit(). The locator entries ride the visits pass via a transform
+    # over loc_chain (index i == lpos of the old posexplode).
+    def _cand(cond, s_col, o_col, ordc):
+        st_ = F.struct(
+            s_col.cast("string").alias("s"),
+            o_col.cast("string").alias("o"),
+            ordc.alias("ord"),
+        )
+        return F.when(cond, st_) if cond is not None else st_
 
     Z = F.lit(0)
     CP, SI = F.col("char_pos"), F.col("state_idx")
     TP, VO = F.col("taxon_pos"), F.col("vord")
-    label_order = union_emissions(
-        _lab(states_x.filter(F.col("uri_t").isNotNull()),
-             F.col("uri_t"), F.col("labelN"), _ord(CP, 0, SI, Z, Z)),
-        _lab(states_x, F.col("qua_iri"), F.col("qua_label"),
-             _ord(CP, 0, SI, F.lit(1), Z)),
-        _lab(states_x.filter(F.col("neg_resolved")), F.col("restr_iri"),
-             F.concat(F.lit("has_characteristic some "), F.col("base_label")),
-             _ord(CP, 0, SI, F.lit(2), Z)),
-        _lab(states_x.filter(F.col("neg_resolved")), F.col("comp_iri"),
-             F.concat(F.lit("NOT (has_characteristic some "),
-                      F.col("base_label"), F.lit(")")),
-             _ord(CP, 0, SI, F.lit(3), Z)),
-        _lab(states_x, F.col("sta_iri"), F.col("sta_label"),
-             _ord(CP, 1, SI, Z, Z)),
-        _lab(visits, F.col("v_org_uri"), F.col("v_org_label"),
-             _ord(CP, 2, TP, VO, Z)),
-        _lab(loc_x.filter(F.col("lc.uri").isNotNull()),
-             F.col("lc.uri"), F.col("lc.label"),
-             _ord(CP, 2, TP, VO, F.lit(1) + F.col("lpos"))),
-        _lab(visits.filter(F.col("var_iri").isNotNull()
-                           & F.col("var_uri").isNotNull()
-                           & (F.col("var_uri") != "")),
-             F.col("var_uri"), F.col("var_label_eff"),
-             _ord(CP, 2, TP, VO, F.lit(1_000_000))),
-    ).groupBy(*DOC, "s", "o").agg(F.min("ord").alias("ord"))
+    state_cands = states_x.select(
+        *DOC,
+        F.explode(F.array(
+            _cand(F.col("uri_t").isNotNull(),
+                  F.col("uri_t"), F.col("labelN"), _ord(CP, 0, SI, Z, Z)),
+            _cand(None, F.col("qua_iri"), F.col("qua_label"),
+                  _ord(CP, 0, SI, F.lit(1), Z)),
+            _cand(F.col("neg_resolved"), F.col("restr_iri"),
+                  F.concat(F.lit("has_characteristic some "), F.col("base_label")),
+                  _ord(CP, 0, SI, F.lit(2), Z)),
+            _cand(F.col("neg_resolved"), F.col("comp_iri"),
+                  F.concat(F.lit("NOT (has_characteristic some "),
+                           F.col("base_label"), F.lit(")")),
+                  _ord(CP, 0, SI, F.lit(3), Z)),
+            _cand(None, F.col("sta_iri"), F.col("sta_label"),
+                  _ord(CP, 1, SI, Z, Z)),
+        )).alias("c"),
+    )
+    visit_cands = visits.select(
+        *DOC,
+        F.explode(F.concat(
+            F.array(
+                _cand(None, F.col("v_org_uri"), F.col("v_org_label"),
+                      _ord(CP, 2, TP, VO, Z)),
+                _cand(F.col("var_iri").isNotNull()
+                      & F.col("var_uri").isNotNull()
+                      & (F.col("var_uri") != ""),
+                      F.col("var_uri"), F.col("var_label_eff"),
+                      _ord(CP, 2, TP, VO, F.lit(1_000_000))),
+            ),
+            F.transform(
+                F.coalesce(F.col("loc_chain"),
+                           F.array().cast(_LOC_CHAIN_TYPE)),
+                lambda lc, i: F.when(
+                    lc["uri"].isNotNull(),
+                    F.struct(
+                        lc["uri"].cast("string").alias("s"),
+                        lc["label"].cast("string").alias("o"),
+                        _ord(CP, 2, TP, VO, F.lit(1) + i).alias("ord"),
+                    ),
+                ),
+            ),
+        )).alias("c"),
+    )
+    label_order = (
+        state_cands.unionByName(visit_cands)
+        .filter(F.col("c").isNotNull()
+                & F.col("c.s").isNotNull() & F.col("c.o").isNotNull())
+        .select(*DOC, "c.s", "c.o", "c.ord")
+        .groupBy(*DOC, "s", "o").agg(F.min("ord").alias("ord"))
+    )
 
     matrix_labels = (
         matrix_pruned.filter(F.col("p") == T.RDFS_LABEL)
         .select(*DOC, "s", "o")
         .join(label_order, DOC + ["s", "o"], "left")
     )
-    final = apply_label_priority(matrix_labels, pruned)
+    final = apply_label_priority(matrix_labels, pruned, hint=bhint)
 
     # characters_combined output (S3): base + char graphs, with matrix
     # labels made authoritative before writing (main.py:2129-2137)
@@ -1299,6 +1404,7 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         dedup_triples(
             parts.filter(F.col("part").isin("base", "char")).drop("part")
         ),
+        hint=bhint,
     )
 
     return {
