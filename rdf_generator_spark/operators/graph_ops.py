@@ -87,6 +87,12 @@ def prune_unreferenced(df: DataFrame, hint=F.broadcast) -> DataFrame:
         )
         .select(*DOC_KEYS, "node")
     )
+    return _drop_victims(df, victims, hint)
+
+
+def _drop_victims(df: DataFrame, victims: DataFrame, hint) -> DataFrame:
+    """Drop all triples whose subject or (IRI) object is a victim —
+    two left-anti joins with the victim set on the hinted side."""
     out = df.join(
         hint(victims.withColumnRenamed("node", "s")),
         DOC_KEYS + ["s"],
@@ -110,8 +116,91 @@ def prune_unreferenced(df: DataFrame, hint=F.broadcast) -> DataFrame:
     return out
 
 
+def prune_unreferenced_scoped(df: DataFrame, mx_col: str,
+                              hint=F.broadcast, materialize_flags=None):
+    """Prune the full triple set AND its ``mx_col`` subset, sharing one
+    victim scan (round 6).
+
+    ``df`` carries the triple columns plus a boolean ``mx_col`` marking
+    subset membership. Victim semantics per scope are exactly
+    `prune_unreferenced` run on that scope's triples: the candidate
+    explode tags every entry with the subset flag, and the (doc, node)
+    aggregation derives both scopes' named/referenced flags at once —
+    one scan and one small exchange instead of two of each. Returns
+    ``(pruned_full, pruned_subset)``; neither output carries ``mx_col``.
+
+    ``materialize_flags``: optional ``f(flags_df) -> flags_df`` that
+    pins the (small) per-node flag table; without it the flag subtree
+    appears under four broadcast builds and exchange reuse is left to
+    the engine (measured NOT to fire across AQE broadcast stages here,
+    so the scan ran twice). The pipeline passes its hub materializer.
+    """
+    QUA, ORG = T.KB + "qua-", T.KB + "org-"
+    is_ni = (F.col("p") == T.RDF_TYPE) & (F.col("o") == T.OWL_NAMED_INDIVIDUAL)
+    named_node = F.when(
+        is_ni & (F.col("s").startswith(QUA) | F.col("s").startswith(ORG)),
+        F.col("s"),
+    )
+    refq_node = F.when(
+        (F.col("p") == T.PHB_HAS_QUALITY) & (~F.col("lit"))
+        & F.col("o").startswith(QUA),
+        F.col("o"),
+    )
+    refo_node = F.when(
+        (F.col("p") == T.PHB_HAS_ORGANISM) & (~F.col("lit"))
+        & F.col("o").startswith(ORG),
+        F.col("o"),
+    )
+    cand = (
+        df.select(
+            *DOC_KEYS,
+            F.col(mx_col).alias("__cmx"),
+            F.explode(
+                F.array(
+                    F.struct(named_node.alias("node"), F.lit(1).alias("kind")),
+                    F.struct(refq_node.alias("node"), F.lit(2).alias("kind")),
+                    F.struct(refo_node.alias("node"), F.lit(3).alias("kind")),
+                )
+            ).alias("c"),
+        )
+        .filter(F.col("c.node").isNotNull())
+        .select(*DOC_KEYS, "__cmx",
+                F.col("c.node").alias("node"), F.col("c.kind").alias("kind"))
+    )
+    flags = cand.groupBy(*DOC_KEYS, "node").agg(
+        F.max(F.col("kind") == 1).alias("__named"),
+        F.max(F.col("kind") == 2).alias("__refq"),
+        F.max(F.col("kind") == 3).alias("__refo"),
+        F.max((F.col("kind") == 1) & F.col("__cmx")).alias("__named_mx"),
+        F.max((F.col("kind") == 2) & F.col("__cmx")).alias("__refq_mx"),
+        F.max((F.col("kind") == 3) & F.col("__cmx")).alias("__refo_mx"),
+    )
+    if materialize_flags is not None:
+        flags = materialize_flags(flags)
+
+    def _victims(named, refq, refo):
+        return flags.filter(
+            F.col(named)
+            & (
+                (F.col("node").startswith(QUA) & ~F.col(refq))
+                | (F.col("node").startswith(ORG) & ~F.col(refo))
+            )
+        ).select(*DOC_KEYS, "node")
+
+    full = df.drop(mx_col)
+    subset = df.filter(F.col(mx_col)).drop(mx_col)
+    pruned_full = _drop_victims(
+        full, _victims("__named", "__refq", "__refo"), hint
+    )
+    pruned_subset = _drop_victims(
+        subset, _victims("__named_mx", "__refq_mx", "__refo_mx"), hint
+    )
+    return pruned_full, pruned_subset
+
+
 def apply_label_priority(matrix_labels: DataFrame, target: DataFrame,
-                         hint=None) -> DataFrame:
+                         hint=None, label_subjects_only: bool = False
+                         ) -> DataFrame:
     """apply_matrix_label_priority (main.py:1243-1270).
 
     `matrix_labels`: (doc, s, o) authoritative rdfs:label values. For
@@ -149,7 +238,21 @@ def apply_label_priority(matrix_labels: DataFrame, target: DataFrame,
         ml = matrix_labels.select(*DOC_KEYS, "s", "o").groupBy(*DOC_KEYS, "s").agg(
             F.min("o").alias("o")
         )
-    target_subjects = target.select(*DOC_KEYS, "s").distinct()
+    # label_subjects_only: the caller asserts every ml subject present
+    # in the target has at least one rdfs:label row there, so the
+    # replaced-subject set can be derived from the (much smaller) label
+    # rows instead of a distinct over every target row. The pipeline's
+    # final-graph call proves this: an ml entry exists only because
+    # (s, rdfs:label, o') is in the matrix dedup, which is a subset of
+    # the full dedup; label rows are literals, so the object-victim rule
+    # never drops them, and if ANY row of s survives pruning then s is
+    # not a subject-victim and its label row survives too. (Not valid
+    # for arbitrary targets — char_combined keeps the general path.)
+    subj_src = (
+        target.filter(F.col("p") == T.RDFS_LABEL)
+        if label_subjects_only else target
+    )
+    target_subjects = subj_src.select(*DOC_KEYS, "s").distinct()
     replacements = (
         target_subjects.join(hint(ml), DOC_KEYS + ["s"], "inner")
         .select(

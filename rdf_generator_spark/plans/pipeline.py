@@ -53,7 +53,8 @@ from rdf_generator_spark.operators import linking
 from rdf_generator_spark.operators.graph_ops import (
     apply_label_priority,
     dedup_triples,
-    prune_unreferenced,
+    prune_unreferenced,  # noqa: F401 — re-exported for external callers
+    prune_unreferenced_scoped,
 )
 from rdf_generator_spark.operators.windows import seq_number
 from rdf_generator_spark.plans.base_scaffold import base_triples
@@ -1297,11 +1298,14 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
     if materialize:
         dd = mat(dd, "dedup")
 
-    all_triples = dd.drop("__mx")
-    pruned = prune_unreferenced(all_triples, hint=bhint)
-    matrix_pruned = prune_unreferenced(
-        dd.filter(F.col("__mx")).drop("__mx"),
-        hint=bhint,
+    # both prune scopes share one victim scan over dd (see
+    # prune_unreferenced_scoped); the small per-node flag table is
+    # pinned so the four broadcast victim builds don't re-run the scan
+    pruned, matrix_pruned = prune_unreferenced_scoped(
+        dd, "__mx", hint=bhint,
+        materialize_flags=(
+            (lambda f: mat(f, "victim_flags")) if materialize else None
+        ),
     )
     # Emission-order key for matrix labels: the reference's label-priority
     # pass takes the FIRST label in graph insertion order (main.py:1243-1270
@@ -1395,7 +1399,11 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         .select(*DOC, "s", "o")
         .join(label_order, DOC + ["s", "o"], "left")
     )
-    final = apply_label_priority(matrix_labels, pruned, hint=bhint)
+    # label_subjects_only is PROVEN for this call (see the operator's
+    # docstring): ml subjects always keep their label row in the pruned
+    # full graph, so the replaced-subject set derives from label rows
+    final = apply_label_priority(matrix_labels, pruned, hint=bhint,
+                                 label_subjects_only=True)
 
     # characters_combined output (S3): base + char graphs, with matrix
     # labels made authoritative before writing (main.py:2129-2137)

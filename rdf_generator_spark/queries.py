@@ -139,14 +139,22 @@ def j3_dual_key_match(spark, sf_dir):
 
 
 def j5_symbol_state_join(spark, sf_dir):
-    """J5 cell-symbol -> state join with invalid-symbol filtering."""
-    e = _t(spark, sf_dir, "events").withColumn(
-        "sym", F.get_json_object("props", "$.k")
-    )
+    """J5 cell-symbol -> state join with invalid-symbol filtering.
+
+    The symbol extraction is ONE fused expression: the old
+    filter(rlike) + cast shape evaluated get_json_object three times
+    per row once the filter was pushed below the projection (rlike,
+    the inferred null-check, and the cast). The anchored
+    regexp_extract returns '' (-> try_cast NULL) for non-^\\d+$
+    symbols, and the inner equi-join drops NULL keys, so the kept-row
+    set is identical to the explicit rlike filter."""
+    e = _t(spark, sf_dir, "events")
     s = _t(spark, sf_dir, "supplier")
+    idx = F.regexp_extract(
+        F.get_json_object("props", "$.k"), r"^(\d+)$", 1
+    ).try_cast("int")
     return (
-        e.filter(F.col("sym").rlike(r"^\d+$"))
-        .withColumn("idx", F.col("sym").cast("int"))
+        e.select(idx.alias("idx"), "value")
         .join(s, F.col("idx") == s.s_suppkey)
         .groupBy("s_suppkey")
         .agg(
