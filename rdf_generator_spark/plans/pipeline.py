@@ -1083,11 +1083,23 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
     # (fine-grained); the per-document rank goes through `seq` (two-
     # phase when counter_buckets is set).
     def first_visit_labels(df, iri_col, order_cols, prefix_col, fallback):
-        w_first = Window.partitionBy(*DOC, iri_col).orderBy(*order_cols)
+        # first visit per entity via groupBy + min_by (round 6): the
+        # row_number window was a full sort per (doc, iri) partition;
+        # min_by partially aggregates map-side, so the exchange carries
+        # one candidate per (doc, iri) per map partition instead of
+        # every visit row. The order keys are unique per row within a
+        # document, so min_by picks exactly the old rn=1 row.
         firsts = (
-            df.withColumn("__rn", F.row_number().over(w_first))
-            .filter(F.col("__rn") == 1)
+            df.groupBy(*DOC, iri_col)
+            .agg(
+                F.min_by(
+                    F.struct(*[F.col(c) for c in order_cols], prefix_col.alias("__p")),
+                    F.struct(*[F.col(c) for c in order_cols]),
+                ).alias("__f")
+            )
+            .select(*DOC, iri_col, "__f.*")
         )
+        prefix_col = F.col("__p")
         firsts = seq(firsts, list(order_cols), "__n")
         prefix = F.when(
             prefix_col.isNull(), F.lit(fallback)
@@ -1178,6 +1190,12 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         .withColumn("sp_inst", kb_iri("sp", F.lower(strip_col(F.col("taxon_label")))))
         .withColumn("tu_iri", kb_iri("tu", F.lower(strip_col(F.col("taxon_label")))))
     )
+    if materialize:
+        # taxa_sp is a per-taxon dimension table (rows = distinct taxa)
+        # consumed by TWO emission branches (species_part and tu_part) —
+        # without pinning, each branch re-ran the NEXUS parse, distinct,
+        # species-key join and min_by aggregation inside the dedup job.
+        taxa_sp = mat(taxa_sp, "taxa_sp")
     species_part = emit(
         taxa_sp,
         t("sp_uri", T.RDF_TYPE, T.OWL_CLASS),
