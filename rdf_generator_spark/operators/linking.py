@@ -105,6 +105,64 @@ def _missing_mention_labels(chars: DataFrame) -> DataFrame:
     )
 
 
+def fill_both_arrays_uris(
+    df: DataFrame, vocab: DataFrame, id_cols: Sequence[str]
+) -> DataFrame:
+    """Fused fill of the `locators` and `states` array slots (round 6).
+
+    `fill_array_uris` per column costs one explode + one groupBy
+    exchange + one join-back each; tagging both arrays' elements with a
+    kind and exploding them TOGETHER halves that machinery (one explode
+    pass, one vocabulary join, one re-assembly aggregation, one
+    join-back) while producing byte-identical arrays: positions are
+    assigned within the concatenated (locators ++ states) array, so
+    per-kind sort order equals the original element order."""
+    keys = list(id_cols)
+    loc_tagged = F.transform(
+        F.col("locators"),
+        lambda l: F.struct(
+            F.lit("L").alias("kind"), l["label"].alias("label"),
+            l["uri"].alias("uri"), F.lit(None).cast("string").alias("token"),
+        ),
+    )
+    st_tagged = F.transform(
+        F.col("states"),
+        lambda s: F.struct(
+            F.lit("S").alias("kind"), s["label"].alias("label"),
+            s["uri"].alias("uri"), s["token"].alias("token"),
+        ),
+    )
+    ex = df.select(
+        *keys, F.posexplode_outer(F.concat(loc_tagged, st_tagged)).alias("__pos", "__item")
+    )
+    item = F.col("__item")
+    cond = missing_uri(item["uri"]) & (norm_term_label(item["label"]) != "")
+    v = F.broadcast(vocab.withColumnRenamed("uri", "__resolved"))
+    ex = ex.join(v, cond & (norm_term_label(item["label"]) == v.norm_label), "left")
+    filled_uri = (
+        F.when(cond & F.col("__resolved").isNotNull(), F.col("__resolved"))
+        .otherwise(item["uri"])
+    )
+    packed = lambda want, inner: F.when(  # noqa: E731
+        F.col("__pos").isNotNull() & (item["kind"] == want),
+        F.struct(F.col("__pos").alias("p"), inner.alias("i")),
+    )
+    loc_inner = F.struct(item["label"].alias("label"), filled_uri.alias("uri"))
+    st_inner = F.struct(item["label"].alias("label"), filled_uri.alias("uri"),
+                        item["token"].alias("token"))
+    regrouped = (
+        ex.groupBy(*keys)
+        .agg(
+            F.sort_array(F.collect_list(packed("L", loc_inner))).alias("__pl"),
+            F.sort_array(F.collect_list(packed("S", st_inner))).alias("__ps"),
+        )
+        .withColumn("locators", F.expr("transform(__pl, x -> x.i)"))
+        .withColumn("states", F.expr("transform(__ps, x -> x.i)"))
+        .drop("__pl", "__ps")
+    )
+    return df.drop("locators", "states").join(regrouped, keys, "left")
+
+
 def fill_character_uris(
     chars: DataFrame, vocab: DataFrame, fuzzy_threshold: float = None
 ) -> DataFrame:
@@ -124,8 +182,7 @@ def fill_character_uris(
         out = fill_scalar_uri(df, "org_label", "org_uri", v)
         out = fill_scalar_uri(out, "var_label", "var_uri", v,
                               enabled=F.col("has_variable"))
-        out = fill_array_uris(out, "locators", v, keys)
-        out = fill_array_uris(out, "states", v, keys, extra_fields=("token",))
+        out = fill_both_arrays_uris(out, v, keys)
         return out
 
     out = _fill_all(chars, vocab)

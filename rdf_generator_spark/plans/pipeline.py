@@ -107,8 +107,10 @@ _AUTO_COUNTER_BUCKET_WIDTH = 64
 _PROBE_FILE_CAP = 4096
 # exact-probe memo: file lists are immutable identities for parquet /
 # Iceberg data (part filenames are unique per write), so the one
-# fallback job per corpus is paid once per file set, not per build
-_PROBE_EXACT_CACHE: Dict[int, int] = {}
+# fallback job per corpus is paid once per file set, not per build.
+# Keyed by the sorted file tuple itself (ADVICE r5: a 64-bit hash()
+# collision between two different file lists would silently alias).
+_PROBE_EXACT_CACHE: Dict[tuple, int] = {}
 _PROBE_EXACT_CACHE_MAX = 64
 
 
@@ -190,7 +192,7 @@ def probe_max_doc_bytes(corpus: DataFrame, allow_job: bool = True):
         return (max(best_mean, 1), False)
     if not allow_job:
         return (max(best_mean, 1), False)
-    key = hash(tuple(sorted(files)))
+    key = tuple(sorted(files))
     exact = _PROBE_EXACT_CACHE.get(key)
     if exact is None:
         try:
@@ -243,6 +245,18 @@ def dataset_id_from_config(corpus: DataFrame) -> Optional[str]:
         .limit(_CONFIG_SCAN_LIMIT)
         .collect()
     )
+    if len(rows) == _CONFIG_SCAN_LIMIT:
+        # ADVICE r5: the limit plausibly truncated the scan — a
+        # dataset_id-bearing config sorting after the window would be
+        # missed silently, changing the salt with no signal
+        import warnings
+
+        warnings.warn(
+            f"dataset_id config scan hit its {_CONFIG_SCAN_LIMIT}-row "
+            "bound; a dataset_id in a yaml doc sorting past the bound "
+            "would be ignored (pass dataset_id= explicitly to override)",
+            stacklevel=2,
+        )
     for r in rows:
         try:
             cfg = yaml.safe_load(r["content"]) or {}

@@ -82,10 +82,27 @@ def decode_bmp(raw: bytes) -> np.ndarray:
     width, height = struct.unpack_from("<ii", raw, 18)
     bpp = struct.unpack_from("<H", raw, 28)[0]
     compression = struct.unpack_from("<I", raw, 30)[0]
-    if compression not in (0, 3):  # BI_RGB; BI_BITFIELDS tolerated at 32bpp
+    if compression not in (0, 3):  # BI_RGB; BI_BITFIELDS checked below
         raise NotImplementedError(f"compressed BMP (method {compression})")
     if bpp not in (24, 32):
         raise NotImplementedError(f"{bpp}-bit BMP (only 24/32 BI_RGB)")
+    if compression == 3:
+        # ADVICE r5: BI_BITFIELDS is only a valid layout at 16/32 bpp,
+        # and this decoder assumes the default BGR(A) channel order —
+        # verify the masks actually declare it rather than silently
+        # swapping channels for exotic mask layouts.
+        if bpp != 32:
+            raise NotImplementedError(
+                f"BI_BITFIELDS at {bpp} bpp is not a valid BMP layout"
+            )
+        if len(raw) < 54 + 12:
+            raise ValueError("truncated BI_BITFIELDS mask block")
+        rmask, gmask, bmask = struct.unpack_from("<III", raw, 54)
+        if (rmask, gmask, bmask) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise NotImplementedError(
+                "BI_BITFIELDS with non-default channel masks "
+                f"({rmask:#010x}/{gmask:#010x}/{bmask:#010x})"
+            )
     if width <= 0 or height == 0:
         raise ValueError("degenerate BMP dimensions")
     top_down = height < 0

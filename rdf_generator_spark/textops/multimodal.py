@@ -177,7 +177,16 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from rdf_generator_spark.textops import codecs as C
 
-        decoded: dict = {}  # per-task payload memo (explode repeats it)
+        # Bounded per-task payload memo (explode repeats a payload in
+        # contiguous rows). ADVICE r5: an unbounded dict held every
+        # distinct video's full decoded luma stack for the partition's
+        # lifetime — at production density that grows without bound and
+        # OOMs the Python worker. Rows for one media arrive contiguously
+        # after the timestamp explode, so a small LRU keeps the hit rate.
+        from collections import OrderedDict
+
+        _MEMO_MAX = 4
+        decoded: OrderedDict = OrderedDict()
         for pdf in batches:
             rows = []
             for mid, ts, payload in zip(pdf["media_id"], pdf["ts_ms"], pdf["payload"]):
@@ -198,13 +207,17 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
                     )
                     continue
                 key = hashlib.sha1(raw).digest()
-                if key not in decoded:
+                if key in decoded:
+                    decoded.move_to_end(key)
+                else:
                     if C.sniff(raw) != "y4m":
                         raise NotImplementedError(
                             "compressed video decode requires ffmpeg; only "
                             "Y4M (YUV4MPEG2) decodes natively"
                         )
                     decoded[key] = C.decode_y4m(raw)
+                    while len(decoded) > _MEMO_MAX:
+                        decoded.popitem(last=False)
                 luma, (num, den) = decoded[key]
                 idx = min(len(luma) - 1, int(ts) * num // (1000 * den))
                 plane = luma[idx]
