@@ -1092,53 +1092,67 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         t("phe_iri", T.PHB_HAS_ENTITY, F.col("lc.iri")),
     )
 
-    # first-visit sequential labels (A1/A2) for org / loc / var entities.
-    # The per-entity first-visit window partitions by the entity IRI
-    # (fine-grained); the per-document rank goes through `seq` (two-
-    # phase when counter_buckets is set).
-    def first_visit_labels(df, iri_col, order_cols, prefix_col, fallback):
-        # first visit per entity via groupBy + min_by (round 6): the
-        # row_number window was a full sort per (doc, iri) partition;
-        # min_by partially aggregates map-side, so the exchange carries
-        # one candidate per (doc, iri) per map partition instead of
-        # every visit row. The order keys are unique per row within a
-        # document, so min_by picks exactly the old rn=1 row.
-        firsts = (
-            df.groupBy(*DOC, iri_col)
-            .agg(
-                F.min_by(
-                    F.struct(*[F.col(c) for c in order_cols], prefix_col.alias("__p")),
-                    F.struct(*[F.col(c) for c in order_cols]),
-                ).alias("__f")
-            )
-            .select(*DOC, iri_col, "__f.*")
+    # first-visit sequential labels (A1/A2) for org / loc / var entities,
+    # all three families in ONE tagged pass over the visits checkpoint
+    # (round 6): previously each family scanned the checkpoint and
+    # shuffled separately (three full deserializing scans — RDD scans
+    # cannot column-prune). One explode emits a row's org candidate, its
+    # conditional var candidate, and one candidate per locator-chain
+    # element; one (doc, kind, iri) min_by aggregation picks each
+    # entity's first visit (order keys are unique per row within a
+    # document, so min_by picks exactly the old rn=1 row); the per-kind
+    # filters then feed the same per-document `seq` numbering as before
+    # over identical row sets. The per-document rank goes through `seq`
+    # (two-phase when counter_buckets is set).
+    _FC = lambda kind, iri, lpos, pfx: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"), iri.alias("iri"),
+        F.col("char_pos").alias("char_pos"),
+        F.col("taxon_pos").alias("taxon_pos"), F.col("vord").alias("vord"),
+        lpos.alias("lpos"), pfx.alias("pfx"),
+    )
+    first_cands = visits.select(
+        *DOC,
+        F.explode(F.concat(
+            F.array(
+                _FC("org", F.col("org_iri"), F.lit(0), F.col("v_org_label")),
+                F.when(
+                    F.col("var_iri").isNotNull(),
+                    _FC("var", F.col("var_iri"), F.lit(0), F.col("var_label_eff")),
+                ),
+            ),
+            F.transform(
+                F.coalesce(F.col("loc_chain"), F.array().cast(_LOC_CHAIN_TYPE)),
+                lambda lc, i: _FC("loc", lc["iri"], i, lc["label"]),
+            ),
+        )).alias("c"),
+    ).filter(F.col("c").isNotNull() & F.col("c.iri").isNotNull()).select(*DOC, "c.*")
+    firsts_all = (
+        first_cands.groupBy(*DOC, "kind", "iri")
+        .agg(
+            F.min_by(
+                F.struct("char_pos", "taxon_pos", "vord", "lpos", "pfx"),
+                F.struct("char_pos", "taxon_pos", "vord", "lpos"),
+            ).alias("__f")
         )
-        prefix_col = F.col("__p")
+        .select(*DOC, "kind", "iri", "__f.*")
+    )
+
+    def first_visit_labels(kind, order_cols, fallback):
+        firsts = firsts_all.filter(F.col("kind") == kind).drop("kind")
         firsts = seq(firsts, list(order_cols), "__n")
         prefix = F.when(
-            prefix_col.isNull(), F.lit(fallback)
-        ).otherwise(strip_col(prefix_col))
+            F.col("pfx").isNull(), F.lit(fallback)
+        ).otherwise(strip_col(F.col("pfx")))
         return emit(
             firsts,
-            t(iri_col, T.RDF_TYPE, NI),
-            tl(iri_col, T.RDFS_LABEL, F.concat(prefix, F.lit(":id-"), F.col("__n"))),
+            t("iri", T.RDF_TYPE, NI),
+            tl("iri", T.RDFS_LABEL, F.concat(prefix, F.lit(":id-"), F.col("__n"))),
         )
 
-    org_labels = first_visit_labels(
-        visits.select(*DOC, "char_pos", "taxon_pos", "vord", "org_iri", "v_org_label"),
-        "org_iri", ["char_pos", "taxon_pos", "vord"], F.col("v_org_label"), "organism",
-    )
+    org_labels = first_visit_labels("org", ["char_pos", "taxon_pos", "vord"], "organism")
     loc_labels = first_visit_labels(
-        loc_x.select(*DOC, "char_pos", "taxon_pos", "vord", "lpos",
-                     F.col("lc.iri").alias("loc_iri"), F.col("lc.label").alias("loc_label")),
-        "loc_iri", ["char_pos", "taxon_pos", "vord", "lpos"], F.col("loc_label"), "locator",
-    )
-    var_labels = first_visit_labels(
-        visits.filter(F.col("var_iri").isNotNull()).select(
-            *DOC, "char_pos", "taxon_pos", "vord", "var_iri", "var_label_eff"
-        ),
-        "var_iri", ["char_pos", "taxon_pos", "vord"], F.col("var_label_eff"), "variable",
-    )
+        "loc", ["char_pos", "taxon_pos", "vord", "lpos"], "locator")
+    var_labels = first_visit_labels("var", ["char_pos", "taxon_pos", "vord"], "variable")
 
     matrix_part = union_emissions(
         mx_triples, mx_char_links, char_nodes.drop("char_id"),
