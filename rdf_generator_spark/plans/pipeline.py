@@ -234,10 +234,6 @@ def dataset_id_from_config(corpus: DataFrame) -> Optional[str]:
     docs the winning `dataset_id` is deterministic (the reference
     reads exactly one config file; lexicographically-first is the
     documented precedence here), not partition-order-dependent."""
-    try:
-        import yaml
-    except ImportError:
-        return None
     rows = (
         corpus.filter(F.col("lang") == "yaml")
         .select("repo", "path", "commit", "content")
@@ -245,7 +241,17 @@ def dataset_id_from_config(corpus: DataFrame) -> Optional[str]:
         .limit(_CONFIG_SCAN_LIMIT)
         .collect()
     )
-    if len(rows) == _CONFIG_SCAN_LIMIT:
+    return _dataset_id_from_yaml_rows(rows)
+
+
+def _dataset_id_from_yaml_rows(rows) -> Optional[str]:
+    """Driver-side tail of SRC1: pick `dataset_id` from already-collected
+    yaml rows (sorted by repo/path/commit, bounded by the scan limit)."""
+    try:
+        import yaml
+    except ImportError:
+        return None
+    if len(rows) >= _CONFIG_SCAN_LIMIT:
         # ADVICE r5: the limit plausibly truncated the scan — a
         # dataset_id-bearing config sorting after the window would be
         # missed silently, changing the salt with no signal
@@ -424,10 +430,47 @@ def build_graph(
             ).alias("source_text")
         )
     )
-    if vocab is None:
-        vocab = vocab_df_from_corpus(spark, corpus)
-    if dataset_id is None:
-        dataset_id = dataset_id_from_config(corpus)
+    if vocab is None and dataset_id is None:
+        # one combined dimension collect (round 6): the OWL vocabulary
+        # rows and the (bounded, ordered — see dataset_id_from_config)
+        # yaml config window used to be two separate driver jobs per
+        # build; one filtered scan fetches both. Bounds are preserved:
+        # yaml rows ride a per-lang rank capped at the config-scan
+        # limit, owl rows are dimension docs by contract.
+        w_yaml = Window.partitionBy("lang").orderBy("repo", "path", "commit")
+        dim_rows = (
+            corpus.filter(F.col("lang").isin("owl", "yaml"))
+            .select("repo", "path", "commit", "lang", "content")
+            .withColumn("__rn", F.row_number().over(w_yaml))
+            .filter((F.col("lang") == "owl")
+                    | (F.col("__rn") <= _CONFIG_SCAN_LIMIT))
+            .collect()
+        )
+        from rdf_generator_spark.sources.corpus import (
+            VOCAB_SCHEMA,
+            build_label_index,
+        )
+
+        index: Dict[str, str] = {}
+        owl_rows = sorted(
+            (r for r in dim_rows if r["lang"] == "owl"),
+            key=lambda r: (r["repo"], r["path"], r["commit"]),
+        )
+        for r in owl_rows:
+            for k, v in build_label_index(r["content"]).items():
+                index.setdefault(k, v)
+        vocab = spark.createDataFrame(sorted(index.items()), VOCAB_SCHEMA)
+        dataset_id = _dataset_id_from_yaml_rows(
+            sorted(
+                (r for r in dim_rows if r["lang"] == "yaml"),
+                key=lambda r: (r["repo"], r["path"], r["commit"]),
+            )
+        )
+    else:
+        if vocab is None:
+            vocab = vocab_df_from_corpus(spark, corpus)
+        if dataset_id is None:
+            dataset_id = dataset_id_from_config(corpus)
 
     # --- J1 vocab fill + per-char derived columns ------------------------
     # fuzzy_link_threshold routes exact-tier misses through the
@@ -1443,7 +1486,10 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
     matrix_labels = (
         matrix_pruned.filter(F.col("p") == T.RDFS_LABEL)
         .select(*DOC, "s", "o")
-        .join(label_order, DOC + ["s", "o"], "left")
+        # corpus-gated broadcast of the (aggregated, per-doc small)
+        # emission-order map — past the document gate this joins by
+        # shuffle like every other dimension join
+        .join(bhint(label_order), DOC + ["s", "o"], "left")
     )
     # label_subjects_only is PROVEN for this call (see the operator's
     # docstring): ml subjects always keep their label row in the pruned
