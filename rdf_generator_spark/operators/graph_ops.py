@@ -238,21 +238,36 @@ def apply_label_priority(matrix_labels: DataFrame, target: DataFrame,
         ml = matrix_labels.select(*DOC_KEYS, "s", "o").groupBy(*DOC_KEYS, "s").agg(
             F.min("o").alias("o")
         )
-    # label_subjects_only: the caller asserts every ml subject present
-    # in the target has at least one rdfs:label row there, so the
-    # replaced-subject set can be derived from the (much smaller) label
-    # rows instead of a distinct over every target row. The pipeline's
-    # final-graph call proves this: an ml entry exists only because
-    # (s, rdfs:label, o') is in the matrix dedup, which is a subset of
-    # the full dedup; label rows are literals, so the object-victim rule
-    # never drops them, and if ANY row of s survives pruning then s is
-    # not a subject-victim and its label row survives too. (Not valid
-    # for arbitrary targets — char_combined keeps the general path.)
-    subj_src = (
-        target.filter(F.col("p") == T.RDFS_LABEL)
-        if label_subjects_only else target
-    )
-    target_subjects = subj_src.select(*DOC_KEYS, "s").distinct()
+    non_labels = target.filter(F.col("p") != T.RDFS_LABEL)
+    if label_subjects_only:
+        # Fast path for callers that guarantee (a) every ml subject
+        # present in the target keeps at least one rdfs:label row there
+        # and (b) the target is duplicate-free. The pipeline's
+        # final-graph call proves both: an ml entry exists only because
+        # (s, rdfs:label, o') is in the matrix dedup, which is a subset
+        # of the full dedup; label rows are literals, so the
+        # object-victim rule never drops them, and if ANY row of s
+        # survives pruning then s is not a subject-victim and its label
+        # row survives too — and the target is the pruned dedup table.
+        # Under (a)+(b), "drop all labels of ml subjects, add one
+        # replacement row each" equals "rewrite each label row's object
+        # through ml and de-duplicate": one scan of the label rows, one
+        # hinted left join, one distinct — no anti-join and no
+        # all-subjects distinct. Label rows always carry
+        # (lit=true, dt=null), matching the replacement literals.
+        ml_o = hint(ml.select(*DOC_KEYS, "s", F.col("o").alias("__mo")))
+        new_labels = (
+            target.filter(F.col("p") == T.RDFS_LABEL)
+            .join(ml_o, DOC_KEYS + ["s"], "left")
+            .select(
+                *DOC_KEYS, "s", "p",
+                F.coalesce(F.col("__mo"), F.col("o")).alias("o"),
+                "lit", "dt",
+            )
+            .dropDuplicates(DOC_KEYS + TRIPLE_COLS)
+        )
+        return non_labels.unionByName(new_labels.select(non_labels.columns))
+    target_subjects = target.select(*DOC_KEYS, "s").distinct()
     replacements = (
         target_subjects.join(hint(ml), DOC_KEYS + ["s"], "inner")
         .select(
@@ -264,7 +279,6 @@ def apply_label_priority(matrix_labels: DataFrame, target: DataFrame,
             F.lit(None).cast("string").alias("dt"),
         )
     )
-    non_labels = target.filter(F.col("p") != T.RDFS_LABEL)
     kept_labels = target.filter(F.col("p") == T.RDFS_LABEL).join(
         hint(ml.select(*DOC_KEYS, "s")), DOC_KEYS + ["s"], "left_anti"
     )
