@@ -159,7 +159,10 @@ def probe_max_doc_bytes(corpus: DataFrame, allow_job: bool = True):
         return None
     best_mean = 0
     best_total = 0
-    for f in files[:_PROBE_FILE_CAP]:
+    # deterministic capped scan: inputFiles() order is arbitrary, so an
+    # over-cap corpus would otherwise probe a different file subset per
+    # run; sorting pins which footers are read
+    for f in sorted(files)[:_PROBE_FILE_CAP]:
         try:
             p = f
             if f.startswith("file:"):
@@ -186,9 +189,13 @@ def probe_max_doc_bytes(corpus: DataFrame, allow_job: bool = True):
         return None
     if best_mean >= _GIANT_DOC_CONTENT_BYTES:
         return (best_mean, False)
-    if best_total < _GIANT_DOC_EXACT_BYTES:
+    if best_total < _GIANT_DOC_EXACT_BYTES and len(files) <= _PROBE_FILE_CAP:
         # no row group could hold a gate-worthy document (a parquet row
-        # never spans row groups) — proven off, zero jobs
+        # never spans row groups) — proven off, zero jobs. The proof
+        # only holds when EVERY file's footer was read: past the file
+        # cap a tail giant would be invisible (VERDICT r5 item 1), so
+        # an over-cap corpus falls through to the exact job instead of
+        # claiming proof it doesn't have.
         return (max(best_mean, 1), False)
     if not allow_job:
         return (max(best_mean, 1), False)

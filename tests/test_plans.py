@@ -237,6 +237,47 @@ def test_probe_exact_fallback_packed_row_group(spark, tmp_path):
     assert len(tracker.getJobIdsForGroup(None) or []) == before
 
 
+def test_probe_file_cap_falls_through_to_exact(spark, tmp_path, monkeypatch):
+    """VERDICT r5 item 1: with more corpus files than the probe's footer
+    cap, a tail giant beyond the cap is never footer-read — the probe
+    must treat the footer signal as unproven and run the exact job
+    instead of claiming a zero-job proof. Cap shrunk via monkeypatch so
+    the fixture stays small."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_generator_spark.plans import pipeline as P
+
+    small = pa.table(
+        {
+            "repo": ["r0"], "path": ["chars.json"], "commit": ["c"],
+            "lang": ["json"], "content": ["tiny"],
+        }
+    )
+    giant = pa.table(
+        {
+            "repo": ["giant"], "path": ["chars.json"], "commit": ["c"],
+            "lang": ["json"], "content": ["y" * (1600 * 1024)],
+        }
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    # file list sorts lexicographically in inputFiles(); keep the giant
+    # in the LAST file so a capped footer scan never sees it
+    pq.write_table(small, str(d / "part-aaa.parquet"))
+    pq.write_table(small, str(d / "part-bbb.parquet"))
+    pq.write_table(giant, str(d / "part-zzz.parquet"))
+    df = spark.read.parquet(str(d))
+
+    monkeypatch.setattr(P, "_PROBE_FILE_CAP", 2)
+    P._PROBE_EXACT_CACHE.clear()
+    got = P.probe_max_doc_bytes(df)
+    assert got == (1600 * 1024, True)  # exact job ran, tail giant found
+    assert (
+        P.resolve_counter_buckets(df, "auto") == P._AUTO_COUNTER_BUCKET_WIDTH
+    )
+
+
 def test_fuzzy_match_plan_is_gram_bucketed(spark):
     """j1_fuzzy_fill's engine (fuzzy_match_labels) must generate
     candidates through the n-gram equi-join — a broadcast hash join on
