@@ -941,6 +941,33 @@ def build_graph(
     )
 
 
+import weakref
+
+_COL_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _memo_cols(key: str, builder):
+    """Memoize CONSTANT (context-free) Column expression lists per py4j
+    gateway (round 6, driver overhead): Column objects are immutable
+    unresolved expression trees, so the same objects can seed emit() in
+    every build on this JVM — only plan construction is memoized, every
+    job still computes from its inputs. Rebuilding the two biggest
+    emission lists cost ~10k py4j round trips (~1 s of driver time) per
+    build. Keyed weakly by the gateway so a fresh JVM rebuilds."""
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    if gw is None:
+        return builder()
+    d = _COL_MEMO.get(gw)
+    if d is None:
+        d = {}
+        _COL_MEMO[gw] = d
+    if key not in d:
+        d[key] = builder()
+    return d[key]
+
+
 def _materializer(spark, staging_dir: Optional[str]):
     """Hub-table materializer: parquet staging when `staging_dir` is
     set (cluster-durable), localCheckpoint otherwise (single-box).
@@ -985,16 +1012,14 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
     # -- char part: char node + provenance + state typing -----------------
     # (tagged with char_id so validation can rebuild per-character scopes)
     CDOC = ("repo", "commit", "char_id")
-    char_nodes = emit(
-        charsx,
+    char_nodes = emit(charsx, *_memo_cols("char_nodes", lambda: [
         t("char_iri", T.RDF_TYPE, T.CDAO_CHARACTER),
         tl("char_iri", T.RDFS_LABEL, F.col("char_label_eff")),
         t("char_iri", T.RDF_TYPE, NI),
         when_t(F.col("src_iri").isNotNull(), t("src_iri", T.RDF_TYPE, T.PROV_ENTITY)),
         when_t(F.col("src_iri").isNotNull(), tl("src_iri", T.RDFS_LABEL, F.col("source_text"))),
         when_t(F.col("src_iri").isNotNull(), t("char_iri", T.PROV_HAD_PRIMARY_SOURCE, F.col("src_iri"))),
-        doc_cols=CDOC,
-    )
+    ]), doc_cols=CDOC)
     # F9 second sp- mint site (SpeciesLabel+SpeciesID rows)
     sp2 = charsx.filter(
         (norm_taxon_label(F.col("species_label")) != "") & F.col("species_id").isNotNull()
@@ -1031,8 +1056,7 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
     )
     mx_char_links = emit(charsx, t("mx_iri", T.CDAO_HAS_CHARACTER, "char_iri"))
 
-    sta_qua_triples = emit(
-        states_x,
+    sta_qua_triples = emit(states_x, *_memo_cols("sta_qua", lambda: [
         # quality class typing (handle_quality, main.py:1026-1035)
         when_t(F.col("uri_t").isNotNull(), t("uri_t", T.RDF_TYPE, T.OWL_CLASS)),
         when_t(F.col("uri_t").isNotNull(), tl("uri_t", T.RDFS_LABEL, F.col("labelN"))),
@@ -1061,10 +1085,9 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         t("sta_iri", T.RDF_TYPE, NI),
         tl("sta_iri", T.RDFS_LABEL, F.col("sta_label")),
         t("char_iri", T.PHB_MAY_HAVE_STATE, "sta_iri"),
-    )
+    ]))
 
-    cell_triples = emit(
-        cells_j,
+    cell_triples = emit(cells_j, *_memo_cols("cell_triples", lambda: [
         tl("cell_iri", T.RDFS_LABEL, F.concat(F.lit("cell:id-"), F.col("cell_n"))),
         tl("cell_iri", T.DC_DESCRIPTION,
            F.concat(F.lit("Cell for taxon "), F.col("taxon"),
@@ -1072,10 +1095,9 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         t("cell_iri", T.RDF_TYPE, NI),
         t("cell_iri", T.RDF_TYPE, T.CDAO_CELL),
         t("cell_iri", T.CDAO_BELONGS_TO_CHARACTER, "char_iri"),
-    )
+    ]))
 
-    visit_triples = emit(
-        visits,
+    visit_triples = emit(visits, *_memo_cols("visit_triples", lambda: [
         tl("phe_iri", T.KB_SORT_CHAR_NUM, F.col("char_sort_num"), dt=T.XSD_INTEGER),
         tl("phe_iri", T.KB_SORT_SPECIES, F.col("norm_taxon")),
         tl("phe_iri", T.DC_DESCRIPTION,
@@ -1126,21 +1148,20 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         # cell -> state / phenotype links
         when_t(F.col("st_sta_iri").isNotNull(), t("cell_iri", T.CDAO_HAS_STATE, "st_sta_iri")),
         t("cell_iri", T.PHB_REFERS_TO_STATEMENT, "phe_iri"),
-    )
+    ]))
 
     # locator triples per visit (F4 chain links + classes + phe links)
     loc_x = visits.select(
         *DOC, "char_pos", "taxon_pos", "vord", "phe_iri",
         F.posexplode("loc_chain").alias("lpos", "lc"),
     )
-    loc_triples = emit(
-        loc_x,
+    loc_triples = emit(loc_x, *_memo_cols("loc_triples", lambda: [
         when_t(F.col("lc.uri").isNotNull(), tl(F.col("lc.uri"), T.RDFS_LABEL, F.col("lc.label"))),
         when_t(F.col("lc.uri").isNotNull(), t(F.col("lc.uri"), T.RDF_TYPE, T.OWL_CLASS)),
         when_t(F.col("lc.uri").isNotNull(), t(F.col("lc.iri"), T.RDF_TYPE, F.col("lc.uri"))),
         t(F.col("lc.prev"), T.BFO_HAS_PART, F.col("lc.iri")),
         t("phe_iri", T.PHB_HAS_ENTITY, F.col("lc.iri")),
-    )
+    ]))
 
     # first-visit sequential labels (A1/A2) for org / loc / var entities,
     # all three families in ONE tagged pass over the visits checkpoint
@@ -1162,7 +1183,7 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
     )
     first_cands = visits.select(
         *DOC,
-        F.explode(F.concat(
+        _memo_cols("first_cands_expr", lambda: F.explode(F.concat(
             F.array(
                 _FC("org", F.col("org_iri"), F.lit(0), F.col("v_org_label")),
                 F.when(
@@ -1174,7 +1195,7 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
                 F.coalesce(F.col("loc_chain"), F.array().cast(_LOC_CHAIN_TYPE)),
                 lambda lc, i: _FC("loc", lc["iri"], i, lc["label"]),
             ),
-        )).alias("c"),
+        )).alias("c")),
     ).filter(F.col("c").isNotNull() & F.col("c.iri").isNotNull()).select(*DOC, "c.*")
     firsts_all = (
         first_cands.groupBy(*DOC, "kind", "iri")
@@ -1274,8 +1295,7 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         # without pinning, each branch re-ran the NEXUS parse, distinct,
         # species-key join and min_by aggregation inside the dedup job.
         taxa_sp = mat(taxa_sp, "taxa_sp")
-    species_part = emit(
-        taxa_sp,
+    species_part = emit(taxa_sp, *_memo_cols("species_part", lambda: [
         t("sp_uri", T.RDF_TYPE, T.OWL_CLASS),
         tl("sp_uri", T.RDFS_LABEL, F.col("concept_label")),
         t("sp_uri", T.RDF_TYPE, T.TXR_SPECIES),
@@ -1290,7 +1310,7 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
                  F.concat(F.lit("https://www.gbif.org/species/"), F.col("gbif_id")))),
         when_t(F.col("zoobank_id").isNotNull(),
                tl("sp_inst", T.DWC_TAXON_ID, F.col("zoobank_id"))),
-    )
+    ]))
 
     # TU enrichment (F10): default organism from the first char row that
     # carries both Organism and SpeciesLabel (main.py:871-890), else a
@@ -1354,15 +1374,14 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
             strip_col(F.concat(F.lit("<i>"), F.col("binomial"), F.lit("</i> "), F.col("author"))),
         )
     )
-    tu_part = emit(
-        tu_rows,
+    tu_part = emit(tu_rows, *_memo_cols("tu_part", lambda: [
         t("tu_iri", T.RDF_TYPE, NI),
         tl("tu_iri", T.RDFS_LABEL, F.col("taxon_label")),
         tl("tu_iri", T.RDFS_COMMENT, F.col("tu_comment")),
         t("org_eff", T.RDF_TYPE, NI),
         t("tu_iri", T.RDF_TYPE, T.CDAO_TU),
         t("tu_iri", T.IAO_DENOTES, "sp_inst"),
-    )
+    ]))
 
     # -- final assembly ---------------------------------------------------
     def with_part(df, name):
@@ -1440,7 +1459,7 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
     TP, VO = F.col("taxon_pos"), F.col("vord")
     state_cands = states_x.select(
         *DOC,
-        F.explode(F.array(
+        _memo_cols("state_cands_expr", lambda: F.explode(F.array(
             _cand(F.col("uri_t").isNotNull(),
                   F.col("uri_t"), F.col("labelN"), _ord(CP, 0, SI, Z, Z)),
             _cand(None, F.col("qua_iri"), F.col("qua_label"),
@@ -1454,11 +1473,11 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
                   _ord(CP, 0, SI, F.lit(3), Z)),
             _cand(None, F.col("sta_iri"), F.col("sta_label"),
                   _ord(CP, 1, SI, Z, Z)),
-        )).alias("c"),
+        )).alias("c")),
     )
     visit_cands = visits.select(
         *DOC,
-        F.explode(F.concat(
+        _memo_cols("visit_cands_expr", lambda: F.explode(F.concat(
             F.array(
                 _cand(None, F.col("v_org_uri"), F.col("v_org_label"),
                       _ord(CP, 2, TP, VO, Z)),
@@ -1480,7 +1499,7 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
                     ),
                 ),
             ),
-        )).alias("c"),
+        )).alias("c")),
     )
     label_order = (
         state_cands.unionByName(visit_cands)
