@@ -801,23 +801,46 @@ def build_graph(
     # post-AQE partitions) to <1 s.
     visits = visits.repartition("repo", "commit", "char_pos", "taxon_pos")
 
-    org_seed = F.concat_ws(
-        "::",
-        F.col("salt"),
-        F.coalesce(
-            F.nullif(norm_seed_component(F.col("norm_taxon")), F.lit("")),
-            F.lit("unknown-taxon"),
-        ),
-        F.coalesce(
-            F.nullif(norm_seed_component(F.col("v_org_label")), F.lit("")),
-            F.lit("organism"),
-        ),
-    )
-    visits = (
-        visits.withColumn("org_iri", kb_iri("org", org_seed))
-        .withColumn(
-            "phe_iri",
-            kb_iri(
+    # Mint/fold expressions are constant Column trees — built once per
+    # JVM (_memo_cols) and applied in three chained projections that
+    # respect their data dependencies (org_iri -> loc_chain/var;
+    # loc_chain -> last_loc_iri).
+    def _build_mint_exprs():
+        org_seed = F.concat_ws(
+            "::",
+            F.col("salt"),
+            F.coalesce(
+                F.nullif(norm_seed_component(F.col("norm_taxon")), F.lit("")),
+                F.lit("unknown-taxon"),
+            ),
+            F.coalesce(
+                F.nullif(norm_seed_component(F.col("v_org_label")), F.lit("")),
+                F.lit("organism"),
+            ),
+        )
+        # Locator-chain fold (F4): sequential-in-array,
+        # parallel-across-rows.
+        loc_filtered = F.filter(
+            F.col("locators"), lambda l: F.coalesce(l["label"], F.lit("")) != ""
+        )
+        seed_base = lambda l: F.coalesce(  # noqa: E731
+            _truthy_uri(l["uri"]), F.lower(strip_col(l["label"]))
+        )
+        var_seed = F.when(
+            F.col("chain_seed").isNotNull(),
+            F.concat(
+                F.col("org_iri"), F.lit("::"), F.col("chain_seed"), F.lit("::"),
+                F.lower(strip_col(F.col("var_label_eff"))),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("__noloc__::"), F.col("char_id"), F.lit("::"),
+                F.lower(strip_col(F.col("var_label_eff"))),
+            )
+        )
+        return {
+            "org_iri": kb_iri("org", org_seed).alias("org_iri"),
+            "phe_iri": kb_iri(
                 "phe",
                 F.concat(
                     F.lit("pheno-"),
@@ -826,77 +849,59 @@ def build_graph(
                     F.lower(strip_col(F.col("taxon"))),
                     F.col("suffix"),
                 ),
-            ),
-        )
-        .withColumn("tu_iri", kb_iri("tu", F.lower(strip_col(F.col("norm_taxon")))))
-    )
-
-    # Locator-chain fold (F4): sequential-in-array, parallel-across-rows.
-    loc_filtered = F.filter(
-        F.col("locators"), lambda l: F.coalesce(l["label"], F.lit("")) != ""
-    )
-    seed_base = lambda l: F.coalesce(  # noqa: E731
-        _truthy_uri(l["uri"]), F.lower(strip_col(l["label"]))
-    )
-    visits = visits.withColumn(
-        "loc_chain",
-        F.aggregate(
-            loc_filtered,
-            F.struct(
-                F.col("org_iri").alias("prev"),
-                F.array().cast(_LOC_CHAIN_TYPE).alias("acc"),
-            ),
-            lambda acc, l: F.struct(
-                kb_iri("loc", F.concat(acc["prev"], F.lit("::"), seed_base(l))).alias("prev"),
-                F.concat(
-                    acc["acc"],
-                    F.array(
-                        F.struct(
-                            kb_iri(
-                                "loc", F.concat(acc["prev"], F.lit("::"), seed_base(l))
-                            ).alias("iri"),
-                            l["label"].alias("label"),
-                            _truthy_uri(l["uri"]).alias("uri"),
-                            acc["prev"].alias("prev"),
-                        )
-                    ),
-                ).alias("acc"),
-            ),
-            lambda acc: acc["acc"],
-        ),
-    ).withColumn(
-        "last_loc_iri",
-        F.when(F.size("loc_chain") > 0, F.element_at("loc_chain", -1)["iri"]),
-    )
-
-    var_seed = F.when(
-        F.col("chain_seed").isNotNull(),
-        F.concat(
-            F.col("org_iri"), F.lit("::"), F.col("chain_seed"), F.lit("::"),
-            F.lower(strip_col(F.col("var_label_eff"))),
-        ),
-    ).otherwise(
-        F.concat(
-            F.lit("__noloc__::"), F.col("char_id"), F.lit("::"),
-            F.lower(strip_col(F.col("var_label_eff"))),
-        )
-    )
-    visits = visits.withColumn(
-        "var_iri", F.when(F.col("has_variable"), kb_iri("var", var_seed))
-    )
-
-    visits = visits.withColumn(
-        "per_org_qua_iri",
-        F.when(
-            F.col("st_qua_iri").isNotNull(),
-            kb_iri(
-                "qua",
-                F.concat(
-                    F.col("org_iri"), F.lit("::"), F.col("char_id"), F.lit("::"),
-                    F.col("st_qua_iri"),
+            ).alias("phe_iri"),
+            "tu_iri": kb_iri(
+                "tu", F.lower(strip_col(F.col("norm_taxon")))
+            ).alias("tu_iri"),
+            "loc_chain": F.aggregate(
+                loc_filtered,
+                F.struct(
+                    F.col("org_iri").alias("prev"),
+                    F.array().cast(_LOC_CHAIN_TYPE).alias("acc"),
                 ),
-            ),
-        ),
+                lambda acc, l: F.struct(
+                    kb_iri("loc", F.concat(acc["prev"], F.lit("::"), seed_base(l))).alias("prev"),
+                    F.concat(
+                        acc["acc"],
+                        F.array(
+                            F.struct(
+                                kb_iri(
+                                    "loc", F.concat(acc["prev"], F.lit("::"), seed_base(l))
+                                ).alias("iri"),
+                                l["label"].alias("label"),
+                                _truthy_uri(l["uri"]).alias("uri"),
+                                acc["prev"].alias("prev"),
+                            )
+                        ),
+                    ).alias("acc"),
+                ),
+                lambda acc: acc["acc"],
+            ).alias("loc_chain"),
+            "last_loc_iri": F.when(
+                F.size("loc_chain") > 0, F.element_at("loc_chain", -1)["iri"]
+            ).alias("last_loc_iri"),
+            "var_iri": F.when(
+                F.col("has_variable"), kb_iri("var", var_seed)
+            ).alias("var_iri"),
+            "per_org_qua_iri": F.when(
+                F.col("st_qua_iri").isNotNull(),
+                kb_iri(
+                    "qua",
+                    F.concat(
+                        F.col("org_iri"), F.lit("::"), F.col("char_id"), F.lit("::"),
+                        F.col("st_qua_iri"),
+                    ),
+                ),
+            ).alias("per_org_qua_iri"),
+        }
+
+    mints = _memo_cols("visit_mints", _build_mint_exprs)
+    visits = visits.select(
+        "*", mints["org_iri"], mints["phe_iri"], mints["tu_iri"]
+    )
+    visits = visits.select("*", mints["loc_chain"])
+    visits = visits.select(
+        "*", mints["last_loc_iri"], mints["var_iri"], mints["per_org_qua_iri"]
     )
     # Project the checkpoint down to the columns _assemble consumes
     # (guide §2.3 "project before the exchange"): a localCheckpoint scan
