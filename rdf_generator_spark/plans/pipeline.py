@@ -1271,29 +1271,31 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
         )
     )
     # normalize_species_uri(info.URI, taxon_label) — input uri is already
-    # load-normalized; renormalization is idempotent (main.py:146-167,627)
-    sp_uri = F.when(
-        F.col("uri").isNull() | (F.col("uri") == ""),
-        F.concat(F.lit(T.KB), F.col("taxon_label")),
-    ).when(
-        strip_col(F.col("uri")).startswith("kb:"),
-        F.concat(F.lit(T.KB),
-                 norm_taxon_label(F.substring(strip_col(F.col("uri")), 4, 2 ** 30))),
-    ).when(
-        strip_col(F.col("uri")).startswith(T.KB),
-        F.concat(F.lit(T.KB),
-                 norm_taxon_label(F.substring(strip_col(F.col("uri")), len(T.KB) + 1, 2 ** 30))),
-    ).otherwise(strip_col(F.col("uri")))
+    # load-normalized; renormalization is idempotent (main.py:146-167,627).
+    # Constant trees, built once per JVM, applied in one projection.
+    def _build_taxa_exprs():
+        sp_uri = F.when(
+            F.col("uri").isNull() | (F.col("uri") == ""),
+            F.concat(F.lit(T.KB), F.col("taxon_label")),
+        ).when(
+            strip_col(F.col("uri")).startswith("kb:"),
+            F.concat(F.lit(T.KB),
+                     norm_taxon_label(F.substring(strip_col(F.col("uri")), 4, 2 ** 30))),
+        ).when(
+            strip_col(F.col("uri")).startswith(T.KB),
+            F.concat(F.lit(T.KB),
+                     norm_taxon_label(F.substring(strip_col(F.col("uri")), len(T.KB) + 1, 2 ** 30))),
+        ).otherwise(strip_col(F.col("uri")))
+        return [
+            sp_uri.alias("sp_uri"),
+            norm_taxon_label(
+                F.coalesce(F.nullif(F.col("valid_name"), F.lit("")), F.col("taxon_label"))
+            ).alias("concept_label"),
+            kb_iri("sp", F.lower(strip_col(F.col("taxon_label")))).alias("sp_inst"),
+            kb_iri("tu", F.lower(strip_col(F.col("taxon_label")))).alias("tu_iri"),
+        ]
 
-    taxa_sp = (
-        taxa_sp.withColumn("sp_uri", sp_uri)
-        .withColumn(
-            "concept_label",
-            norm_taxon_label(F.coalesce(F.nullif(F.col("valid_name"), F.lit("")), F.col("taxon_label"))),
-        )
-        .withColumn("sp_inst", kb_iri("sp", F.lower(strip_col(F.col("taxon_label")))))
-        .withColumn("tu_iri", kb_iri("tu", F.lower(strip_col(F.col("taxon_label")))))
-    )
+    taxa_sp = taxa_sp.select("*", *_memo_cols("taxa_exprs", _build_taxa_exprs))
     if materialize:
         # taxa_sp is a per-taxon dimension table (rows = distinct taxa)
         # consumed by TWO emission branches (species_part and tu_part) —
@@ -1343,42 +1345,44 @@ def _assemble(spark, corpus, charsx, states_x, cells_j, visits, species, cells, 
             ).alias("default_org_iri"),
         )
     )
-    tu_rows = (
-        taxa_sp.join(bhint(default_org), DOC, "left")
-        .withColumn(
-            "org_eff",
-            F.coalesce(
-                F.col("default_org_iri"),
-                kb_iri("org", F.concat(F.lower(strip_col(F.col("taxon_label"))), F.lit("::organism"))),
-            ),
-        )
-        .withColumn(
-            "valid_label",
-            strip_col(
+    # tu enrichment columns are constant trees (built once per JVM) and
+    # apply in three dependency-ordered projections
+    def _build_tu_exprs():
+        return {
+            "a": [
                 F.coalesce(
-                    F.nullif(F.col("valid_name"), F.lit("")),
-                    F.nullif(F.col("input_name"), F.lit("")),
-                    F.nullif(F.col("taxon_label"), F.lit("")),
-                    F.lit("Unknown species"),
-                )
-            ),
-        )
-        .withColumn("__parts", F.split(F.col("valid_label"), " ", 3))
-        .withColumn(
-            "binomial",
-            F.when(
-                F.size("__parts") >= 2,
-                F.concat(F.col("__parts")[0], F.lit(" "), F.col("__parts")[1]),
-            ).otherwise(F.col("valid_label")),
-        )
-        .withColumn(
-            "author", F.when(F.size("__parts") == 3, F.col("__parts")[2]).otherwise(F.lit(""))
-        )
-        .withColumn(
-            "tu_comment",
-            strip_col(F.concat(F.lit("<i>"), F.col("binomial"), F.lit("</i> "), F.col("author"))),
-        )
-    )
+                    F.col("default_org_iri"),
+                    kb_iri("org", F.concat(F.lower(strip_col(F.col("taxon_label"))),
+                                           F.lit("::organism"))),
+                ).alias("org_eff"),
+                strip_col(
+                    F.coalesce(
+                        F.nullif(F.col("valid_name"), F.lit("")),
+                        F.nullif(F.col("input_name"), F.lit("")),
+                        F.nullif(F.col("taxon_label"), F.lit("")),
+                        F.lit("Unknown species"),
+                    )
+                ).alias("valid_label"),
+            ],
+            "b": [F.split(F.col("valid_label"), " ", 3).alias("__parts")],
+            "c": [
+                F.when(
+                    F.size("__parts") >= 2,
+                    F.concat(F.col("__parts")[0], F.lit(" "), F.col("__parts")[1]),
+                ).otherwise(F.col("valid_label")).alias("binomial"),
+                F.when(F.size("__parts") == 3, F.col("__parts")[2])
+                .otherwise(F.lit("")).alias("author"),
+            ],
+            "d": [
+                strip_col(F.concat(F.lit("<i>"), F.col("binomial"),
+                                   F.lit("</i> "), F.col("author"))).alias("tu_comment"),
+            ],
+        }
+
+    tue = _memo_cols("tu_exprs", _build_tu_exprs)
+    tu_rows = taxa_sp.join(bhint(default_org), DOC, "left")
+    for stage_key in ("a", "b", "c", "d"):
+        tu_rows = tu_rows.select("*", *tue[stage_key])
     tu_part = emit(tu_rows, *_memo_cols("tu_part", lambda: [
         t("tu_iri", T.RDF_TYPE, NI),
         tl("tu_iri", T.RDFS_LABEL, F.col("taxon_label")),
